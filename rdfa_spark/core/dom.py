@@ -1,0 +1,373 @@
+"""Minimal stdlib DOM for RDFa extraction.
+
+The reference parses markup with libxml2 (XML::LibXML) or an HTML5
+tag-soup parser (reference: lib/RDF/RDFa/Parser.pm:98-119).  lxml is
+not available in this environment, so we build a tiny DOM on top of
+``xml.parsers.expat`` (XML path) and ``html.parser`` (tag-soup path).
+
+Design notes
+------------
+* Namespace processing is done *by us*, not by the parser: tags and
+  attributes keep their raw names (``rdf:RDF``, ``xml:lang``,
+  ``xmlns:dc``) and namespace URIs are resolved lazily by walking the
+  ancestor chain of ``xmlns``/``xmlns:*`` declarations.  This gives
+  uniform behaviour for well-formed XML and tag-soup HTML.
+* Text nodes are plain ``str`` children; comments/PIs are ``Comment``
+  wrappers so XML-literal serialization can keep them.
+* This module is Spark-free and lxml-free on purpose: the whole RDFa
+  core is unit-testable without a JVM.
+"""
+
+from __future__ import annotations
+
+import re
+import xml.parsers.expat
+from html.parser import HTMLParser
+
+XML_NS = "http://www.w3.org/XML/1998/namespace"
+XMLNS_NS = "http://www.w3.org/2000/xmlns/"
+XHTML_NS = "http://www.w3.org/1999/xhtml"
+
+
+class Comment:
+    __slots__ = ("data",)
+
+    def __init__(self, data: str):
+        self.data = data
+
+
+class ProcessingInstruction:
+    __slots__ = ("target", "data")
+
+    def __init__(self, target: str, data: str):
+        self.target = target
+        self.data = data
+
+
+class Element:
+    __slots__ = ("tag", "attrs", "children", "parent", "_nsmap_cache")
+
+    def __init__(self, tag: str, attrs: dict[str, str] | None = None,
+                 parent: "Element | None" = None):
+        self.tag = tag
+        self.attrs: dict[str, str] = attrs or {}
+        self.children: list = []
+        self.parent = parent
+        self._nsmap_cache = None
+
+    # -- name parts -------------------------------------------------
+    @property
+    def prefix(self) -> str | None:
+        if ":" in self.tag:
+            return self.tag.split(":", 1)[0]
+        return None
+
+    @property
+    def localname(self) -> str:
+        if ":" in self.tag:
+            return self.tag.split(":", 1)[1]
+        return self.tag
+
+    # -- namespaces -------------------------------------------------
+    def nsmap(self) -> dict[str | None, str]:
+        """In-scope xmlns declarations (prefix -> uri; None = default)."""
+        if self._nsmap_cache is not None:
+            return self._nsmap_cache
+        base: dict[str | None, str] = {}
+        if self.parent is not None:
+            base = dict(self.parent.nsmap())
+        for k, v in self.attrs.items():
+            if k == "xmlns":
+                base[None] = v
+            elif k.startswith("xmlns:"):
+                base[k[6:]] = v
+        self._nsmap_cache = base
+        return base
+
+    @property
+    def namespace_uri(self) -> str | None:
+        pfx = self.prefix
+        if pfx == "xml":
+            return XML_NS
+        return self.nsmap().get(pfx)
+
+    # -- attribute access --------------------------------------------
+    def get(self, name: str, default: str | None = None) -> str | None:
+        return self.attrs.get(name, default)
+
+    def has(self, name: str) -> bool:
+        return name in self.attrs
+
+    # -- traversal ----------------------------------------------------
+    def child_elements(self):
+        return [c for c in self.children if isinstance(c, Element)]
+
+    def iter_elements(self):
+        """All descendant elements (not self), document order."""
+        for c in self.children:
+            if isinstance(c, Element):
+                yield c
+                yield from c.iter_elements()
+
+    def has_descendant_elements(self) -> bool:
+        return any(True for _ in self.iter_elements())
+
+    def itertext(self):
+        """All descendant text in document order.
+
+        Matches the reference's ``_element_to_string``
+        (lib/RDF/RDFa/Parser.pm:2541-2559): only TEXT nodes count;
+        comments and PIs do not contribute.
+        """
+        for c in self.children:
+            if isinstance(c, str):
+                yield c
+            elif isinstance(c, Element):
+                yield from c.itertext()
+
+    def text_content(self) -> str:
+        return "".join(self.itertext())
+
+    def node_path(self) -> str:
+        """Stable, deterministic path (used for element-subject memos
+        and error provenance; analogue of libxml nodePath)."""
+        parts = []
+        node = self
+        while node is not None:
+            parent = node.parent
+            if parent is None:
+                parts.append("/" + node.tag)
+            else:
+                sibs = [c for c in parent.children
+                        if isinstance(c, Element) and c.tag == node.tag]
+                idx = sibs.index(node) + 1
+                parts.append(f"/{node.tag}[{idx}]")
+            node = parent
+        return "".join(reversed(parts))
+
+
+class Document:
+    __slots__ = ("root",)
+
+    def __init__(self, root: Element):
+        self.root = root
+
+    def iter_elements(self):
+        if self.root is not None:
+            yield self.root
+            yield from self.root.iter_elements()
+
+
+# ---------------------------------------------------------------------------
+# XML parsing (expat, no namespace processing — we keep raw names)
+# ---------------------------------------------------------------------------
+
+# Strip DTD to avoid expat chasing external entities; the reference
+# uses an XML catalogue for the same reason (Parser.pm:108-119).
+_DOCTYPE_RE = re.compile(rb"<!DOCTYPE[^\[>]*(\[[^\]]*\])?[^>]*>", re.S)
+
+_XHTML_ENTITIES = {
+    "nbsp": " ", "copy": "©", "reg": "®", "trade": "™",
+    "mdash": "—", "ndash": "–", "hellip": "…",
+    "ldquo": "“", "rdquo": "”", "lsquo": "‘",
+    "rsquo": "’", "laquo": "«", "raquo": "»",
+    "deg": "°", "middot": "·", "sect": "§",
+    "para": "¶", "euro": "€", "pound": "£",
+    "yen": "¥", "cent": "¢", "times": "×",
+    "divide": "÷", "plusmn": "±", "frac12": "½",
+    "iexcl": "¡", "iquest": "¿", "szlig": "ß",
+    "agrave": "à", "aacute": "á", "eacute": "é",
+    "egrave": "è", "uuml": "ü", "ouml": "ö",
+    "auml": "ä", "ccedil": "ç", "ntilde": "ñ",
+}
+
+
+class _XmlBuilder:
+    def __init__(self):
+        self.root: Element | None = None
+        self.stack: list[Element] = []
+
+    def start(self, name, attrs):
+        el = Element(name, dict(attrs),
+                     self.stack[-1] if self.stack else None)
+        if self.stack:
+            self.stack[-1].children.append(el)
+        elif self.root is None:
+            self.root = el
+        self.stack.append(el)
+
+    def end(self, name):
+        self.stack.pop()
+
+    def chars(self, data):
+        if self.stack:
+            kids = self.stack[-1].children
+            if kids and isinstance(kids[-1], str):
+                kids[-1] += data
+            else:
+                kids.append(data)
+
+    def comment(self, data):
+        if self.stack:
+            self.stack[-1].children.append(Comment(data))
+
+    def pi(self, target, data):
+        if self.stack:
+            self.stack[-1].children.append(
+                ProcessingInstruction(target, data))
+
+
+def parse_xml(markup: bytes | str) -> Document:
+    """Parse well-formed (X)HTML/XML bytes into a Document.
+
+    Raises ``xml.parsers.expat.ExpatError`` on malformed input;
+    callers fall back to the tag-soup parser.
+    """
+    if isinstance(markup, str):
+        markup = markup.encode("utf-8")
+    # Replace DOCTYPE (we resolve common XHTML entities ourselves).
+    markup = _DOCTYPE_RE.sub(b"", markup)
+
+    b = _XmlBuilder()
+    p = xml.parsers.expat.ParserCreate()  # no namespace separator
+    p.buffer_text = True
+    p.StartElementHandler = b.start
+    p.EndElementHandler = b.end
+    p.CharacterDataHandler = b.chars
+    p.CommentHandler = b.comment
+    p.ProcessingInstructionHandler = b.pi
+
+    def skipped(name, is_param):
+        # Undefined entity (e.g. &nbsp; with DOCTYPE stripped)
+        b.chars(_XHTML_ENTITIES.get(name, ""))
+
+    p.SkippedEntityHandler = skipped
+    p.Parse(markup, True)
+    if b.root is None:
+        raise xml.parsers.expat.ExpatError("no root element")
+    return Document(b.root)
+
+
+# ---------------------------------------------------------------------------
+# Tag-soup HTML parsing (html.parser)
+# ---------------------------------------------------------------------------
+
+_VOID = frozenset("""area base br col embed hr img input link meta param
+source track wbr""".split())
+
+# Minimal HTML5-ish implied-end-tag handling: a new <p>-family element
+# closes an open <p>; <li> closes <li>; table-section tags close peers.
+_CLOSE_P = frozenset("""address article aside blockquote div dl fieldset
+figcaption figure footer form h1 h2 h3 h4 h5 h6 header hr main nav ol p
+pre section table ul""".split())
+_SELF_CLOSING_PEERS = {
+    "li": {"li"},
+    "option": {"option"},
+    "tr": {"tr"},
+    "td": {"td", "th"},
+    "th": {"td", "th"},
+    "dd": {"dd", "dt"},
+    "dt": {"dd", "dt"},
+    "thead": {"tbody", "tfoot"},
+    "tbody": {"tbody", "thead"},
+}
+
+
+class _SoupBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root: Element | None = None
+        self.stack: list[Element] = []
+
+    def _ensure_root(self):
+        if self.root is None:
+            self.root = Element("html", {})
+            self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "html":
+            if self.root is None:
+                self.root = Element("html", dict(attrs))
+                self.stack = [self.root]
+            else:
+                self.root.attrs.update(dict(attrs))
+            return
+        self._ensure_root()
+        # implied end tags
+        if tag in _CLOSE_P:
+            for i in range(len(self.stack) - 1, 0, -1):
+                if self.stack[i].tag == "p":
+                    del self.stack[i:]
+                    break
+                if self.stack[i].tag not in ("a", "span", "b", "i", "em",
+                                             "strong", "small", "u", "s"):
+                    break
+        peers = _SELF_CLOSING_PEERS.get(tag)
+        if peers and self.stack and self.stack[-1].tag in peers:
+            self.stack.pop()
+        parent = self.stack[-1]
+        el = Element(tag, dict(attrs), parent)
+        parent.children.append(el)
+        if tag not in _VOID:
+            self.stack.append(el)
+
+    def handle_startendtag(self, tag, attrs):
+        if tag == "html":
+            self.handle_starttag(tag, attrs)
+            return
+        self._ensure_root()
+        parent = self.stack[-1]
+        el = Element(tag, dict(attrs), parent)
+        parent.children.append(el)
+
+    def handle_endtag(self, tag):
+        if tag in _VOID:
+            return
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data):
+        if not self.stack:
+            if data.strip():
+                self._ensure_root()
+            else:
+                return
+        kids = self.stack[-1].children
+        if kids and isinstance(kids[-1], str):
+            kids[-1] += data
+        else:
+            kids.append(data)
+
+    def handle_comment(self, data):
+        if self.stack:
+            self.stack[-1].children.append(Comment(data))
+
+
+def parse_html(markup: bytes | str) -> Document:
+    """Tag-soup parse; always succeeds (HTML5-parser analogue,
+    reference: Parser.pm:103-107)."""
+    if isinstance(markup, bytes):
+        markup = markup.decode("utf-8", "replace")
+    b = _SoupBuilder()
+    b.feed(markup)
+    b.close()
+    if b.root is None:
+        b.root = Element("html", {})
+    # HTML5 parsers place elements in the XHTML namespace; mirror that
+    # so the head/body and <time> rules see the expected namespace.
+    if "xmlns" not in b.root.attrs:
+        b.root.attrs["xmlns"] = XHTML_NS
+    return Document(b.root)
+
+
+def parse_markup(markup: bytes | str, dom_parser: str = "xml") -> Document:
+    """Dispatch on the config's dom_parser flag (Parser.pm:98-119),
+    falling back to tag-soup when XML parsing fails (recover mode)."""
+    if dom_parser == "html":
+        return parse_html(markup)
+    try:
+        return parse_xml(markup)
+    except Exception:
+        return parse_html(markup)
