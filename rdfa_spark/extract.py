@@ -1,0 +1,213 @@
+"""Spark extraction stage: pages -> triples / errors DataFrames.
+
+The reference's per-document recursive parse
+(lib/RDF/RDFa/Parser.pm:489-544) becomes one Arrow-batched
+``mapInPandas`` over the pages table: JVM->Python crossings happen
+once per batch, and the whole relational surface around the UDF
+(column pruning, filters, dedup, writes) stays in Catalyst.
+
+Scale notes (100 TB design):
+* extraction is embarrassingly parallel per url — no shuffle at all
+  in this stage; parallelism == input splits
+  (`spark.sql.files.maxPartitionBytes` governs task count);
+* the UDF reads only (url, html, lang): column pruning reaches the
+  parquet scan because mapInPandas consumes an explicit 3-column
+  projection;
+* bnode labels are deterministic per url, so re-running a failed
+  partition yields identical output — required for resumable,
+  idempotent writes (BASELINE north_rule).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BooleanType, IntegerType, LongType,
+                               StringType, StructField, StructType)
+
+from .core.config import Config, make_config
+from .core.walk import parse_rdfa
+
+TRIPLE_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("subj", StringType(), True),
+    StructField("pred", StringType(), True),
+    StructField("obj", StringType(), True),
+    StructField("obj_is_literal", BooleanType(), True),
+    StructField("obj_datatype", StringType(), True),
+    StructField("obj_lang", StringType(), True),
+    StructField("graph", StringType(), True),
+    StructField("emit_seq", LongType(), True),
+])
+
+ERROR_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("level", StringType(), True),
+    StructField("code", StringType(), True),
+    StructField("message", StringType(), True),
+    StructField("node_path", StringType(), True),
+])
+
+TEXT_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("text", StringType(), True),
+    StructField("n_triples", IntegerType(), True),
+])
+
+
+def detect_config(html: bytes) -> Config:
+    """Host-language dispatch for pre-crawled pages.
+
+    The reference dispatches on HTTP media type
+    (Config.pm:306-331); for a crawl corpus we sniff the bytes:
+    XML declaration or an XHTML namespace on the root -> xhtml host,
+    anything else -> html5 tag-soup.  Root @version still upgrades/
+    downgrades the RDFa version (guess mode, Config.pm:342-367).
+    """
+    head = html[:2048].lstrip()
+    is_xhtml = (head.startswith(b"<?xml")
+                or b'xmlns="http://www.w3.org/1999/xhtml"' in head)
+    host = "xhtml" if is_xhtml else "html5"
+    return make_config(host, "guess")
+
+
+_CFG_CACHE: dict[tuple, Config] = {}
+
+
+def _config_for(html: bytes, config: Config | None) -> Config:
+    if config is not None:
+        return config
+    head = html[:2048].lstrip()
+    is_xhtml = (head.startswith(b"<?xml")
+                or b'xmlns="http://www.w3.org/1999/xhtml"' in head)
+    key = ("xhtml" if is_xhtml else "html5",)
+    cfg = _CFG_CACHE.get(key)
+    if cfg is None:
+        cfg = make_config(key[0], "guess")
+        _CFG_CACHE[key] = cfg
+    return cfg
+
+
+def _walk_batches(batches: Iterator[pd.DataFrame], config: Config | None,
+                  want: str):
+    for pdf in batches:
+        urls, rows = pdf["url"].values, []
+        htmls = pdf["html"].values
+        for i in range(len(pdf)):
+            url = urls[i]
+            html = htmls[i]
+            if html is None:
+                continue
+            html = bytes(html)
+            try:
+                w = parse_rdfa(html, url, _config_for(html, config))
+            except Exception as exc:   # never fail the job on one page
+                if want == "errors":
+                    rows.append((url, "error", "parse-failed",
+                                 str(exc)[:500], None))
+                continue
+            if want == "triples":
+                for seq, t in enumerate(w.triples):
+                    rows.append((url, t.subj, t.pred, t.obj,
+                                 t.is_literal, t.datatype, t.lang,
+                                 t.graph, seq))
+            elif want == "errors":
+                for e in w.errors:
+                    rows.append((url, e.level, e.code, e.message,
+                                 e.node_path))
+            else:  # text
+                rows.append((url, w.doc.root.text_content()
+                             if w.doc.root is not None else "",
+                             len(w.triples)))
+        if want == "triples":
+            cols = [f.name for f in TRIPLE_SCHEMA.fields]
+        elif want == "errors":
+            cols = [f.name for f in ERROR_SCHEMA.fields]
+        else:
+            cols = [f.name for f in TEXT_SCHEMA.fields]
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def extract_triples(pages: DataFrame, config: Config | None = None,
+                    dedup: bool = False) -> DataFrame:
+    """pages(url, html, ...) -> triples DataFrame.
+
+    ``dedup=True`` additionally enforces cross-document set semantics
+    (the walker already dedups within a document, mirroring the
+    reference's set-store A4) — a shuffle, so off by default.
+    """
+    proj = pages.select("url", "html")
+    out = proj.mapInPandas(
+        lambda it: _walk_batches(it, config, "triples"), TRIPLE_SCHEMA)
+    if dedup:
+        out = out.dropDuplicates(
+            ["url", "subj", "pred", "obj", "obj_is_literal",
+             "obj_datatype", "obj_lang", "graph"])
+    return out
+
+
+def extract_errors(pages: DataFrame,
+                   config: Config | None = None) -> DataFrame:
+    """Processor-graph analogue (Parser.pm:469-487) as a DataFrame."""
+    proj = pages.select("url", "html")
+    return proj.mapInPandas(
+        lambda it: _walk_batches(it, config, "errors"), ERROR_SCHEMA)
+
+
+def extract_text_df(pages: DataFrame,
+                    config: Config | None = None) -> DataFrame:
+    """F1 text-concatenation rule per url (byte-identical invariant,
+    Parser.pm:2541-2559), plus triple counts for metrics."""
+    proj = pages.select("url", "html")
+    return proj.mapInPandas(
+        lambda it: _walk_batches(it, config, "text"), TEXT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Queries over the triples table (the reference's model accessors)
+# ---------------------------------------------------------------------------
+
+OG_NS = "http://ogp.me/ns#"
+OG_ALT_NS = "http://opengraphprotocol.org/schema/"
+
+
+def opengraph(triples: DataFrame, prop: str | None = None) -> DataFrame:
+    """P11 — the reference's built-in query (Parser.pm:259-328):
+    triples whose subject is the page URI and whose predicate is an
+    OpenGraph expansion; prefix stripped from the property key."""
+    df = triples.filter(F.col("subj") == F.col("url"))
+    if prop is not None:
+        preds = ([prop] if ":" in prop.split("/")[0] and "://" in prop
+                 else [OG_NS + prop, OG_ALT_NS + prop])
+        df = df.filter(F.col("pred").isin(preds))
+    else:
+        df = df.filter(F.col("pred").startswith(OG_NS)
+                       | F.col("pred").startswith(OG_ALT_NS))
+    return df.select(
+        "url",
+        F.regexp_replace("pred", f"^({OG_NS}|{OG_ALT_NS})", "")
+         .alias("property"),
+        F.col("obj").alias("value"),
+    )
+
+
+def graph_counts(triples: DataFrame) -> DataFrame:
+    """A1 — named-graph partition counts (Parser.pm:245-257)."""
+    return (triples
+            .groupBy(F.coalesce("graph", F.lit("(default)"))
+                     .alias("graph"))
+            .agg(F.count("*").alias("n_triples")))
+
+
+def count_statements(triples: DataFrame, subj=None, pred=None, obj=None,
+                     graph=None) -> int:
+    """A2 — count_statements pattern matching."""
+    df = triples
+    for col, val in (("subj", subj), ("pred", pred), ("obj", obj),
+                     ("graph", graph)):
+        if val is not None:
+            df = df.filter(F.col(col) == val)
+    return df.count()
