@@ -1,0 +1,129 @@
+"""Connected components via iterative DataFrame self-joins.
+
+north_rule stage: canonicalization of linked entities.  Implements
+the alternating large-star / small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — public
+literature), which converges in O(log n) rounds and bounds the
+per-round shuffle, plus a simpler min-label propagation for
+small-diameter graphs.
+
+Scale notes:
+* node ids are strings (urls / mention IRIs) — no lossy 64-bit
+  hashing of node ids, so no collision risk at 10^12 nodes;
+* each round is one shuffle on the node key; AQE skew-join handles
+  hot components, and `salt_hot_keys` pre-splits the giant-component
+  star pattern that AQE can't fix inside an iterative loop
+  (SURVEY.md §4);
+* `localCheckpoint` every round cuts the lineage chain so round N's
+  plan doesn't replay rounds 1..N-1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    e = (edges.select(F.col(src).cast("string").alias("a"),
+                      F.col(dst).cast("string").alias("b"))
+         .filter(F.col("a") != F.col("b")))
+    return e.select(F.least("a", "b").alias("a"),
+                    F.greatest("a", "b").alias("b")).distinct()
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """(u,v) both directions; connect strictly-larger neighbours of u
+    to min(N(u) ∪ {u})."""
+    nbrs = e.union(e.select(F.col("b").alias("a"),
+                            F.col("a").alias("b")))
+    mins = (nbrs.groupBy("a")
+            .agg(F.least(F.min("b"), F.first("a")).alias("m")))
+    return (nbrs.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("a"),
+                    F.greatest("a", "b").alias("b"))
+            .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """For edges (u,v) with v <= u: connect all small neighbours and u
+    itself to the minimum."""
+    nbrs = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    # now b <= a for every row
+    mins = nbrs.groupBy("a").agg(F.min("b").alias("m"))
+    moved = (nbrs.join(mins, "a")
+             .select(F.col("b").alias("x"), F.col("m")))
+    self_edges = mins.select(F.col("a").alias("x"), F.col("m"))
+    return (moved.union(self_edges)
+            .filter(F.col("x") != F.col("m"))
+            .select(F.least("x", "m").alias("a"),
+                    F.greatest("x", "m").alias("b"))
+            .distinct())
+
+
+def _fingerprint(e: DataFrame) -> tuple[int, int]:
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(a, b))"),
+                   F.lit(0)).alias("h"),
+    ).first()
+    return (row.n, row.h)
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst",
+                         max_iter: int = 30) -> DataFrame:
+    """-> (node, component) where component = min node id (string
+    order) in the node's connected component.
+
+    Isolated nodes (no edges) are not returned; union them in from
+    the node table with component = node if needed.
+    """
+    e = _canon_edges(edges, src, dst).localCheckpoint(eager=True)
+    prev = _fingerprint(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+    # converged: every edge is (node -> component representative)
+    members = e.select(F.col("b").alias("node"),
+                       F.col("a").alias("component"))
+    reps = e.select(F.col("a").alias("node"),
+                    F.col("a").alias("component")).distinct()
+    return members.union(reps).distinct()
+
+
+def label_propagation_components(edges: DataFrame, src: str = "src",
+                                 dst: str = "dst",
+                                 max_iter: int = 30) -> DataFrame:
+    """Min-label propagation — O(diameter) rounds; simpler per-round
+    plan, used as cross-check and for known small-diameter graphs."""
+    e = _canon_edges(edges, src, dst)
+    nbrs = (e.union(e.select(F.col("b").alias("a"),
+                             F.col("a").alias("b")))
+            .localCheckpoint(eager=True))
+    labels = (nbrs.select(F.col("a").alias("node"))
+              .distinct()
+              .select("node", F.col("node").alias("component")))
+    for _ in range(max_iter):
+        cand = (nbrs.join(labels,
+                          nbrs["b"] == labels["node"])
+                .select(nbrs["a"].alias("node"),
+                        F.col("component")))
+        new_labels = (labels.union(cand)
+                      .groupBy("node")
+                      .agg(F.min("component").alias("component"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -1,0 +1,144 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash groupBy), MinHash-LSH near-dup, n-gram Jaccard
+verification, SimHash — all built-ins (md5/portable hashing, no
+Python in the hot path).  The LSH path reuses
+rdfa_spark.pipeline.linking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .linking import lsh_candidate_pairs, with_shingles
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str,
+                           text_col: str) -> DataFrame:
+    """Exact dedup: md5 fingerprint groups with >1 member.
+    Map-side partial agg keeps the shuffle to (hash, count) pairs."""
+    return (df.select(F.md5(F.col(text_col)).alias("fingerprint"),
+                      F.col(id_col))
+            .groupBy("fingerprint")
+            .agg(F.count("*").alias("n_dups"),
+                 F.min(id_col).alias("keeper"))
+            .filter(F.col("n_dups") > 1))
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the smallest id per exact-content group (deterministic)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.5,
+                        candidates: DataFrame | None = None
+                        ) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs (verification step
+    after LSH blocking; all-pairs only if candidates is None and the
+    input is small)."""
+    sh = with_shingles(df, text_col, n).select(
+        F.col(id_col), F.col("shingles"))
+    if candidates is None:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        pairs = (a.crossJoin(b)
+                 .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    else:
+        pairs = (candidates
+                 .join(sh.withColumnRenamed(id_col, "id_a")
+                         .withColumnRenamed("shingles", "sh_a"), "id_a")
+                 .join(sh.withColumnRenamed(id_col, "id_b")
+                         .withColumnRenamed("shingles", "sh_b"), "id_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size(F.array_union("sh_a", "sh_b"))
+        return (pairs.select(
+                    "id_a", "id_b",
+                    (inter / union).alias("jaccard"))
+                .filter(F.col("jaccard") >= threshold))
+    inter = F.size(F.array_intersect(F.col("a.shingles"),
+                                     F.col("b.shingles")))
+    union = F.size(F.array_union(F.col("a.shingles"),
+                                 F.col("b.shingles")))
+    return (pairs.select(F.col(f"a.{id_col}").alias("id_a"),
+                         F.col(f"b.{id_col}").alias("id_b"),
+                         (inter / union).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, num_hashes: int = 32,
+                        bands: int = 8,
+                        jaccard_threshold: float = 0.5) -> DataFrame:
+    """Scale path: LSH blocking then exact-Jaccard verification on the
+    candidates only (never all-pairs)."""
+    cands = lsh_candidate_pairs(df, id_col, text_col, n,
+                                num_hashes, bands)
+    return ngram_jaccard_pairs(df, id_col, text_col, n,
+                               jaccard_threshold, candidates=cands)
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str,
+              out: str = "simhash") -> DataFrame:
+    """64-bit SimHash as a 64-char bit string: per-token md5-derived
+    bit vectors, majority vote per bit.  Pure built-ins (no Python in
+    the hot path); the bit-string representation is engine-portable
+    (the DuckDB oracle can reproduce it with the same md5 math)."""
+    toks = F.array_distinct(
+        F.split(F.lower(F.col(text_col)), r"\s+"))
+
+    def tok_bits(t):
+        # 64 bits from md5: two 8-hex-digit halves -> bin(), lpad
+        h = F.md5(t)
+        hi = F.lpad(F.bin(F.conv(F.substring(h, 1, 8), 16, 10)
+                          .cast("long")), 32, "0")
+        lo = F.lpad(F.bin(F.conv(F.substring(h, 9, 8), 16, 10)
+                          .cast("long")), 32, "0")
+        chars = F.split(F.concat(hi, lo), "(?!^)")
+        return F.transform(chars, lambda c: F.when(c == "1", 1)
+                           .otherwise(-1))
+
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, t: F.zip_with(acc, tok_bits(t),
+                                  lambda a, b: a + b))
+    bits = F.array_join(
+        F.transform(votes, lambda v: F.when(v > 0, "1").otherwise("0")),
+        "")
+    return df.withColumn(out, bits)
+
+
+def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
+                           max_hamming: int = 3,
+                           block_bits: int = 16) -> DataFrame:
+    """SimHash near-dup: block on each 16-bit word of the signature (a
+    pair within Hamming distance 3 must agree on at least one of 4
+    words — pigeonhole), then verify Hamming distance on candidates
+    only.  Join is an equi-join on (word_id, word) — shuffled hash
+    join with AQE skew handling."""
+    sh = simhash64(df, id_col, text_col).select(id_col, "simhash")
+    n_words = 64 // block_bits
+    words = F.expr(
+        f"transform(sequence(0, {n_words - 1}), w -> struct("
+        f"w as word_id, substring(simhash, w * {block_bits} + 1, "
+        f"{block_bits}) as word))")
+    blocked = sh.select(id_col, "simhash",
+                        F.explode(words).alias("b")) \
+                .select(id_col, "simhash", "b.word_id", "b.word")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (a.join(b, ["word_id", "word"])
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col("a.simhash").alias("sh_a"),
+                    F.col("b.simhash").alias("sh_b"))
+            .distinct())
+    hamming = F.expr("size(filter(zip_with(split(sh_a, '(?!^)'), "
+                     "split(sh_b, '(?!^)'), (x, y) -> x <> y), "
+                     "d -> d))")
+    return (cand.select("id_a", "id_b", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))

@@ -1,0 +1,156 @@
+"""Pipeline stage tests: connected components (vs union-find oracle),
+entity linking, dedup operators, resumable materialization."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdfa_spark.extract import extract_triples
+from rdfa_spark.pages import load_pages
+from rdfa_spark.pipeline import (
+    ResumableExtraction, canonicalize, connected_components,
+    dedup_exact, entity_mentions, exact_candidate_pairs,
+    exact_duplicate_groups, label_propagation_components, lineage,
+    minhash_dedup_pairs, simhash64, simhash_near_dup_pairs,
+)
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress fully
+    return {n: find(n) for n in parent}
+
+
+def _check_cc(spark, edges, algo):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.component for r in algo(df).collect()}
+    want = _union_find(edges)
+    assert got == want
+
+
+CC_ALGOS = [connected_components, label_propagation_components]
+
+
+@pytest.mark.parametrize("algo", CC_ALGOS)
+def test_cc_chains(spark, algo):
+    # chains of length 10 force multi-round convergence
+    edges = [(f"n{i:03d}", f"n{i - 1:03d}")
+             for i in range(100) if i % 10 != 0]
+    _check_cc(spark, edges, algo)
+
+
+@pytest.mark.parametrize("algo", CC_ALGOS)
+def test_cc_random_graph(spark, algo):
+    rng = random.Random(42)
+    nodes = [f"v{i:04d}" for i in range(300)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(250)]
+    edges = [(a, b) for a, b in edges if a != b]
+    _check_cc(spark, edges, algo)
+
+
+def test_cc_cycle_and_star(spark):
+    edges = ([(f"c{i}", f"c{(i + 1) % 7}") for i in range(7)]
+             + [("hub", f"leaf{i}") for i in range(20)])
+    _check_cc(spark, edges, connected_components)
+
+
+@pytest.fixture(scope="module")
+def triples(spark, sf_dir):
+    return extract_triples(load_pages(spark, sf_dir)).cache()
+
+
+def test_entity_linking_canonicalization(spark, triples):
+    mentions = entity_mentions(triples)
+    pairs = exact_candidate_pairs(mentions)
+    # 40 entities × 3 label variants -> 3 pairs per entity
+    assert pairs.count() == 40 * 3
+    canon = canonicalize(mentions, None)
+    # every mention got a canonical id; 40 canonical entities
+    assert canon.filter(F.col("canonical_id").isNull()).count() == 0
+    assert canon.select("canonical_id").distinct().count() == 40
+    # all three variants of entity 007 share one canonical id
+    ids = (canon.filter(F.col("label").rlike("007"))
+           .select("canonical_id").distinct().count())
+    assert ids == 1
+
+
+def test_exact_dedup(spark):
+    rows = [(1, "aa bb cc"), (2, "aa bb cc"), (3, "dd ee ff"),
+            (4, "aa bb cc"), (5, "gg")]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    groups = exact_duplicate_groups(df, "id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0].n_dups == 3 and groups[0].keeper == 1
+    kept = {r.id for r in dedup_exact(df, "id", "text").collect()}
+    assert kept == {1, 3, 5}
+
+
+def test_minhash_dedup_finds_near_dups(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs "
+            "far away into the deep dark forest tonight").split()
+    rows = []
+    for i in range(8):
+        words = list(base)
+        words[i] = f"tok{i}"  # one-word perturbations: high jaccard
+        rows.append((i, " ".join(words)))
+    rows.append((100, "completely different content " * 5))
+    df = spark.createDataFrame(rows, ["id", "text"])
+    pairs = minhash_dedup_pairs(df, "id", "text", n=3,
+                                num_hashes=32, bands=16,
+                                jaccard_threshold=0.3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got or (0, 2) in got  # near-dups found
+    assert all(100 not in p for p in got)  # distinct doc not paired
+
+
+def test_simhash_deterministic_and_near_dup(spark):
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "nothing in common here at all whatsoever")]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    h = {r.id: r.simhash for r in
+         simhash64(df, "id", "text").collect()}
+    h2 = {r.id: r.simhash for r in
+          simhash64(df, "id", "text").collect()}
+    assert h == h2
+    pairs = simhash_near_dup_pairs(df, "id", "text", max_hamming=16)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+
+
+def test_resumable_materialization(spark, sf_dir, tmp_path):
+    pages = load_pages(spark, sf_dir)
+    out = str(tmp_path / "kg")
+    run = ResumableExtraction(spark, out, n_batches=4)
+    # first call: only 2 of 4 batches (simulated interruption)
+    assert run.run(pages, max_batches=2) == 2
+    assert run.processed_batches() == {0, 1} or \
+        len(run.processed_batches()) == 2
+    n_partial = run.triples().count()
+    # resume: finishes the remaining batches, is then a no-op
+    assert run.run(pages) == 2
+    assert run.run(pages) == 0
+    total = run.triples().count()
+    assert total > n_partial
+    # materialized == direct extraction (idempotent, deterministic)
+    direct = extract_triples(pages).count()
+    assert total == direct
+    # lineage sidecar covers every url
+    lin = spark.read.parquet(f"{out}/lineage")
+    assert lin.count() == pages.count()
+    assert lin.agg(F.sum("n_triples")).first()[0] == total
+    # subject bucketing present
+    assert "subj_bucket" in run.triples().columns
