@@ -25,9 +25,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from rdfa_spark import oracle  # noqa: E402
 from rdfa_spark.extract import (extract_text_df,  # noqa: E402
                                 extract_triples, opengraph)
+from rdfa_spark.functions.similarity import cosine_topk  # noqa: E402
+from rdfa_spark.functions.text import (with_fingerprint,  # noqa: E402
+                                       with_language_id,
+                                       with_quality_score,
+                                       with_token_count)
 from rdfa_spark.pages import load_pages  # noqa: E402
+from rdfa_spark.pipeline.cc import connected_components  # noqa: E402
+from rdfa_spark.pipeline.dedup import (  # noqa: E402
+    exact_duplicate_groups)
+from rdfa_spark.pipeline.linking import (canonicalize,  # noqa: E402
+                                         entity_mentions,
+                                         lsh_candidate_pairs,
+                                         with_minhash, with_shingles)
 
 SCHEMA_NS = "http://schema.org/"
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,6 +84,90 @@ def q_entity_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("entity_key")))
 
 
+def q_entity_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """north_rule canonicalization: LSH/blocking pairs + connected
+    components over the label graph (rdfa_spark/pipeline)."""
+    mentions = entity_mentions(_triples(spark, sf_dir))
+    return canonicalize(mentions)
+
+
+def q_cc_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 connected components (large-star/small-star) on the
+    deterministic chain graph over doc_ids."""
+    docs = _documents(spark, sf_dir)
+    edges = (docs.filter(F.col("doc_id") % 10 != 0)
+             .select(F.col("doc_id").cast("string").alias("src"),
+                     (F.col("doc_id") - 1).cast("string").alias("dst")))
+    return connected_components(edges)
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_token_count(_documents(spark, sf_dir), "text")
+    return d.select("doc_id",
+                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                    F.length("text").cast("bigint").alias("n_chars"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_fingerprint(_documents(spark, sf_dir), "text") \
+        .select("doc_id", "fingerprint")
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_language_id(_documents(spark, sf_dir), "text") \
+        .select("doc_id", "lang_pred")
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_quality_score(_documents(spark, sf_dir), "text") \
+        .select("doc_id", "q_n_chars", "q_n_tokens",
+                "q_mean_token_len_pm", "q_stopword_pm", "q_alpha_pm")
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived dedup corpus: originals + exact/perturbed copies
+    (mirrored in oracle.DUP_CORPUS_CTE)."""
+    docs = _documents(spark, sf_dir)
+    orig = docs.select(F.col("doc_id").alias("id"), "text")
+    copy = docs.select(
+        (F.col("doc_id") + 100000).alias("id"),
+        F.when(F.col("doc_id") % 5 == 0, F.col("text"))
+         .otherwise(F.concat(F.col("text"), F.lit(" extra")))
+         .alias("text"))
+    return orig.unionByName(copy)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicate_groups(_dup_corpus(spark, sf_dir),
+                                  "id", "text")
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = with_minhash(
+        with_shingles(_documents(spark, sf_dir), "text", 3),
+        "shingles", 32)
+    return sig.select(
+        "doc_id",
+        F.md5(F.concat_ws("|", "minhash")).alias("signature"))
+
+
+def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = lsh_candidate_pairs(_documents(spark, sf_dir), "doc_id",
+                                "text", n=3, num_hashes=32, bands=8)
+    return pairs.select(F.col("id_a"), F.col("id_b"))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0) \
+                 .select(F.col("vec_id").alias("query_id"), "embedding")
+    top = cosine_topk(emb, queries, k=10)
+    return top.select("query_id",
+                      F.col("rank").cast("bigint").alias("rank"),
+                      "neighbor_id",
+                      F.round("score", 4).alias("score"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: extract the KG from
     synthesized pages and run the opengraph query over it."""
@@ -81,6 +181,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfa_pred_counts": q_rdfa_pred_counts,
         "rdfa_text": q_rdfa_text,
         "entity_mentions": q_entity_mentions,
+        "entity_canonical": q_entity_canonical,
+        "cc_chain": q_cc_chain,
+        "token_stats": q_token_stats,
+        "doc_fingerprint": q_fingerprint,
+        "language_id": q_language_id,
+        "quality_score": q_quality,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signature": q_minhash_signature,
+        "minhash_band_pairs": q_minhash_band_pairs,
+        "ann_topk": q_ann_topk,
     }
 
 
@@ -91,4 +201,14 @@ def oracle_sql() -> dict[str, str]:
         "rdfa_pred_counts": oracle.RDFA_PRED_COUNTS_SQL,
         "rdfa_text": oracle.RDFA_TEXT_SQL,
         "entity_mentions": oracle.ENTITY_MENTIONS_SQL,
+        "entity_canonical": oracle.ENTITY_CANONICAL_SQL,
+        "cc_chain": oracle.CC_CHAIN_SQL,
+        "token_stats": oracle.TOKEN_STATS_SQL,
+        "doc_fingerprint": oracle.FINGERPRINT_SQL,
+        "language_id": oracle.langid_sql(),
+        "quality_score": oracle.quality_sql(),
+        "dedup_exact": oracle.DEDUP_EXACT_SQL,
+        "minhash_signature": oracle.MINHASH_SIGNATURE_SQL,
+        "minhash_band_pairs": oracle.MINHASH_BAND_PAIRS_SQL,
+        "ann_topk": oracle.ANN_TOPK_SQL,
     }

@@ -1,0 +1,90 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads ride as ``binary`` columns with a typed
+metadata struct; decode / feature-extract / resize / frame-sample run
+as Arrow-batched ``mapInPandas`` stages.  The decode libraries are
+not available in this container, so the decode step is STUBBED: with
+``decoder="fake"`` (default) a deterministic md5-driven pseudo-decode
+exercises the full Spark plumbing (schema, batching, UDF signature);
+``decoder="real"`` raises NotImplementedError at the decode site —
+swap in PIL/ffmpeg there on a real cluster.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, FloatType, IntegerType,
+                               StringType, StructField, StructType)
+
+ASSET_SCHEMA = StructType([
+    StructField("asset_id", StringType(), False),
+    StructField("kind", StringType(), True),       # image|audio|video
+    StructField("payload", StringType(), True),    # binary in real data
+    StructField("mime", StringType(), True),
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("asset_id", StringType(), False),
+    StructField("kind", StringType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("n_frames", IntegerType(), True),
+    StructField("feature", ArrayType(FloatType()), True),
+])
+
+
+def _fake_decode(payload: bytes, kind: str):
+    """Deterministic pseudo-decode: dimensions and a 16-dim feature
+    vector derived from md5(payload).  Replaces PIL/ffmpeg in this
+    container; the Spark-side contract (shapes, schema, batch flow)
+    is identical to a real decoder."""
+    h = hashlib.md5(payload).digest()
+    width = 64 + h[0]
+    height = 64 + h[1]
+    n_frames = 1 if kind == "image" else 1 + h[2] % 32
+    feat = [((h[i % 16] * 31 + i) % 255) / 255.0 for i in range(16)]
+    return width, height, n_frames, feat
+
+
+def extract_features(assets: DataFrame,
+                     decoder: str = "fake") -> DataFrame:
+    """binary assets -> (dims, frame count, feature vector)."""
+
+    def batches(it: Iterator[pd.DataFrame]):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = r.payload
+                if payload is None:
+                    continue
+                if isinstance(payload, str):
+                    payload = payload.encode("utf-8")
+                if decoder == "fake":
+                    w, hgt, nf, feat = _fake_decode(bytes(payload),
+                                                    r.kind)
+                else:
+                    raise NotImplementedError(
+                        "real decoders (PIL/ffmpeg) are not available "
+                        "in this container; plug them in here")
+                rows.append((r.asset_id, r.kind, w, hgt, nf, feat))
+            yield pd.DataFrame(rows, columns=[
+                f.name for f in FEATURE_SCHEMA.fields])
+
+    return assets.select("asset_id", "kind", "payload") \
+                 .mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def frame_sample(features: DataFrame, every_n: int = 8) -> DataFrame:
+    """Frame-sampling plan for video assets: one row per sampled
+    frame index (pure relational explode — the heavy decode happens
+    downstream per sampled frame only)."""
+    idx = F.sequence(F.lit(0),
+                     F.greatest(F.col("n_frames") - 1, F.lit(0)),
+                     F.lit(every_n))
+    return (features.filter(F.col("kind") == "video")
+            .select("asset_id", F.explode(idx).alias("frame_idx")))

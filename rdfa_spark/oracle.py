@@ -88,3 +88,190 @@ SELECT url || '#person' AS mention,
          AS entity_key
 FROM d
 """
+
+# Canonicalization: the three surface variants of entity k share one
+# component; min-string label is 'Entity kkk' (space < dash, 'E' < 'e')
+ENTITY_CANONICAL_SQL = DOCS_CTE + """
+SELECT url || '#person' AS mention,
+       entity AS label,
+       'Entity ' || lpad(CAST(doc_id % 40 AS VARCHAR), 3, '0')
+         AS canonical_id
+FROM d
+"""
+
+# Connected components on the deterministic chain graph
+# (i <-> i-1 unless i % 10 == 0): component = decade leader.
+CC_CHAIN_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS node,
+       CAST(doc_id - doc_id % 10 AS VARCHAR) AS component
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# Training-data ops over the documents table
+# ---------------------------------------------------------------------------
+
+TOKEN_STATS_SQL = """
+SELECT doc_id,
+       CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT)
+         AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         AS fingerprint
+FROM documents
+"""
+
+
+def _langid_cases() -> str:
+    from .functions.text import LANGS, STOPWORDS
+    scores = []
+    for lang in LANGS:
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        scores.append(
+            f"len(list_filter(toks, t -> list_contains([{words}], t)))"
+            f" AS s_{lang}")
+    score_sql = ",\n       ".join(scores)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in LANGS) + ")"
+    case = "CASE\n"
+    for lang in LANGS:
+        case += (f"  WHEN s_{lang} = {best} AND {best} > 0"
+                 f" THEN '{lang}'\n")
+    case += "  ELSE 'unknown' END"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+       {score_sql}
+  FROM tok
+)
+SELECT doc_id, {case} AS lang_pred FROM scored
+"""
+
+
+EN_STOPWORDS_SQL_LIST = None  # built in functions_meta
+
+QUALITY_SQL_TEMPLATE = """
+WITH tok AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(text), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS q_n_chars,
+  CAST(len(toks) AS BIGINT) AS q_n_tokens,
+  CAST(floor(list_sum(list_transform(toks, t -> length(t))) * 1000.0
+       / greatest(len(toks), 1)) AS BIGINT) AS q_mean_token_len_pm,
+  CAST(floor(len(list_filter(toks, t -> list_contains([{en_words}], t)))
+       * 1000.0 / greatest(len(toks), 1)) AS BIGINT) AS q_stopword_pm,
+  CAST(floor(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+       * 1000.0 / greatest(length(text), 1)) AS BIGINT) AS q_alpha_pm
+FROM tok
+"""
+
+# Derived dedup corpus: originals plus a copy that is exact-identical
+# for doc_id % 5 == 0 and perturbed otherwise.
+DUP_CORPUS_CTE = """
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS id,
+         CASE WHEN doc_id % 5 = 0 THEN text
+              ELSE text || ' extra' END AS text
+  FROM documents
+)
+"""
+
+DEDUP_EXACT_SQL = DUP_CORPUS_CTE + """
+SELECT md5(text) AS fingerprint,
+       CAST(count(*) AS BIGINT) AS n_dups,
+       min(id) AS keeper
+FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+# MinHash signatures: 3-word shingles, 32 md5 minima — byte-identical
+# mirror of rdfa_spark.pipeline.linking.with_minhash.
+MINHASH_CTE = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(0, greatest(len(toks) - 3, 0) + 1),
+             j -> array_to_string(list_slice(toks, j + 1, j + 3), ' ')))
+           AS shingles
+  FROM tok
+), mh AS (
+  SELECT doc_id,
+         list_transform(range(0, 32), i ->
+             list_min(list_transform(shingles,
+                 s -> md5(CAST(i AS VARCHAR) || ':' || s))))
+           AS minhash
+  FROM sh
+)
+"""
+
+MINHASH_SIGNATURE_SQL = MINHASH_CTE + """
+SELECT doc_id, md5(array_to_string(minhash, '|')) AS signature
+FROM mh
+"""
+
+MINHASH_BAND_PAIRS_SQL = MINHASH_CTE + """
+, banded AS (
+  SELECT doc_id, b.b AS band_id,
+         md5(array_to_string(list_slice(minhash, b.b * 4 + 1,
+                                        b.b * 4 + 4), '|'))
+           AS band_hash
+  FROM mh, (SELECT unnest(range(0, 8)) AS b) b
+)
+SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+FROM banded x JOIN banded y USING (band_id, band_hash)
+WHERE x.doc_id < y.doc_id
+"""
+
+ANN_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 50 = 0
+), it AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS iv
+  FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(list_zip(iv, qv), x -> x[1] * x[2])),
+        (a, b) -> a + b)
+    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(iv, v -> v * v)), (a, b) -> a + b))
+       * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(qv, v -> v * v)), (a, b) -> a + b)))
+      AS score
+  FROM it, q WHERE neighbor_id <> query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       round(score, 4) AS score
+FROM ranked WHERE rank <= 10
+"""
+
+
+def langid_sql() -> str:
+    return _langid_cases()
+
+
+def quality_sql() -> str:
+    from .functions.text import STOPWORDS
+    en_words = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return QUALITY_SQL_TEMPLATE.format(en_words=en_words)
