@@ -43,7 +43,10 @@ SCHEMA_NS = "http://schema.org/"
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single small parquet file = one input split; compute-heavy
+    # operators (minhash, simhash) need explicit spread
+    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .repartition(spark.sparkContext.defaultParallelism * 2))
 
 
 def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -91,6 +91,53 @@ def _config_for(html: bytes, config: Config | None) -> Config:
     return cfg
 
 
+_TRIPLE_ARROW_NAMES = ["url", "subj", "pred", "obj", "obj_is_literal",
+                       "obj_datatype", "obj_lang", "graph", "emit_seq"]
+
+
+def _walk_arrow_batches(batches, config: Config | None):
+    """Arrow-native extraction: iterate RecordBatches, emit
+    RecordBatches — no pandas materialization on either side of the
+    JVM<->Python channel (mapInArrow)."""
+    import pyarrow as pa
+
+    for rb in batches:
+        urls = rb.column(rb.schema.get_field_index("url"))
+        htmls = rb.column(rb.schema.get_field_index("html"))
+        c_url, c_subj, c_pred, c_obj = [], [], [], []
+        c_lit, c_dt, c_lang, c_graph, c_seq = [], [], [], [], []
+        for i in range(rb.num_rows):
+            html = htmls[i].as_py()
+            if html is None:
+                continue
+            url = urls[i].as_py()
+            try:
+                w = parse_rdfa(html, url, _config_for(html, config))
+            except Exception:
+                continue
+            for seq, t in enumerate(w.triples):
+                c_url.append(url)
+                c_subj.append(t.subj)
+                c_pred.append(t.pred)
+                c_obj.append(t.obj)
+                c_lit.append(t.is_literal)
+                c_dt.append(t.datatype)
+                c_lang.append(t.lang)
+                c_graph.append(t.graph)
+                c_seq.append(seq)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(c_url, pa.string()),
+             pa.array(c_subj, pa.string()),
+             pa.array(c_pred, pa.string()),
+             pa.array(c_obj, pa.string()),
+             pa.array(c_lit, pa.bool_()),
+             pa.array(c_dt, pa.string()),
+             pa.array(c_lang, pa.string()),
+             pa.array(c_graph, pa.string()),
+             pa.array(c_seq, pa.int64())],
+            names=_TRIPLE_ARROW_NAMES)
+
+
 def _walk_batches(batches: Iterator[pd.DataFrame], config: Config | None,
                   want: str):
     for pdf in batches:
@@ -140,8 +187,8 @@ def extract_triples(pages: DataFrame, config: Config | None = None,
     reference's set-store A4) — a shuffle, so off by default.
     """
     proj = pages.select("url", "html")
-    out = proj.mapInPandas(
-        lambda it: _walk_batches(it, config, "triples"), TRIPLE_SCHEMA)
+    out = proj.mapInArrow(
+        lambda it: _walk_arrow_batches(it, config), TRIPLE_SCHEMA)
     if dedup:
         out = out.dropDuplicates(
             ["url", "subj", "pred", "obj", "obj_is_literal",

@@ -195,9 +195,15 @@ SELECT md5(text) AS fingerprint,
 FROM corpus GROUP BY md5(text) HAVING count(*) > 1
 """
 
-# MinHash signatures: 3-word shingles, 32 md5 minima — byte-identical
-# mirror of rdfa_spark.pipeline.linking.with_minhash.
-MINHASH_CTE = """
+# MinHash signatures: 3-word shingles, universal-hash minima over one
+# md5 per shingle — byte-identical mirror of
+# rdfa_spark.pipeline.linking.with_minhash.
+def _minhash_cte() -> str:
+    from .pipeline.linking import MINHASH_PRIME, minhash_params
+    params = minhash_params(32)
+    a_list = ", ".join(str(a) for a, _ in params)
+    b_list = ", ".join(str(b) for _, b in params)
+    return f"""
 WITH tok AS (
   SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
   FROM documents
@@ -208,15 +214,25 @@ WITH tok AS (
              j -> array_to_string(list_slice(toks, j + 1, j + 3), ' ')))
            AS shingles
   FROM tok
+), vals AS (
+  SELECT doc_id,
+         list_transform(shingles,
+             s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
+                  % {MINHASH_PRIME}) AS vs
+  FROM sh
 ), mh AS (
   SELECT doc_id,
          list_transform(range(0, 32), i ->
-             list_min(list_transform(shingles,
-                 s -> md5(CAST(i AS VARCHAR) || ':' || s))))
+             list_min(list_transform(vs, v ->
+                 (([{a_list}])[i + 1] * v + ([{b_list}])[i + 1])
+                 % {MINHASH_PRIME})))
            AS minhash
-  FROM sh
+  FROM vals
 )
 """
+
+
+MINHASH_CTE = _minhash_cte()
 
 MINHASH_SIGNATURE_SQL = MINHASH_CTE + """
 SELECT doc_id, md5(array_to_string(minhash, '|')) AS signature

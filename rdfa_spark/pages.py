@@ -144,6 +144,28 @@ def pages_from_documents(documents: DataFrame,
 
 
 def load_pages(spark: SparkSession, sf_dir: str,
-               n_docs: int | None = None) -> DataFrame:
+               n_docs: int | None = None,
+               replicate: int = 1,
+               partitions: int | None = None) -> DataFrame:
+    """Pages table from the driver's documents parquet.
+
+    ``replicate`` deterministically amplifies the corpus (distinct
+    urls via a ?rep= suffix) for throughput benchmarking;
+    ``partitions`` repartitions up front — the documents parquet is a
+    single small file (1 input split), which would otherwise serialize
+    the embarrassingly-parallel extraction stage."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return pages_from_documents(docs, n_docs)
+    if partitions is None:
+        # the documents parquet is one small file (one input split);
+        # extraction is compute-bound, so spread it across the cluster
+        partitions = spark.sparkContext.defaultParallelism * 2
+    if partitions:
+        docs = docs.repartition(partitions)
+    pages = pages_from_documents(docs, n_docs)
+    if replicate > 1:
+        reps = F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
+        pages = (pages.withColumn("rep", reps)
+                 .withColumn("url", F.concat(
+                     "url", F.lit("?rep="), F.col("rep").cast("string")))
+                 .drop("rep"))
+    return pages

@@ -57,23 +57,49 @@ def with_shingles(df: DataFrame, text_col: str, n: int = 3,
     return df.withColumn(out, F.array_distinct(sh))
 
 
+MINHASH_PRIME = 1_000_000_007
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Fixed universal-hash family h_i(v) = (a_i·v + b_i) mod p.
+    Deterministic constants (no RNG) shared with the DuckDB oracle;
+    a_i odd and nonzero mod p."""
+    return [((2 * i + 1) * 1_000_003 % MINHASH_PRIME,
+             (i * i + 12_345) * 999_983 % MINHASH_PRIME)
+            for i in range(num_hashes)]
+
+
 def with_minhash(df: DataFrame, shingle_col: str = "shingles",
                  num_hashes: int = 32,
                  out: str = "minhash") -> DataFrame:
-    """num_hashes md5-minima over the shingle set.
+    """num_hashes minima over the shingle set via a universal hash
+    family over a single md5 per shingle:
 
-    h_i(s) = md5(i || ':' || s); the per-row cost is
-    num_hashes × |shingles| md5 calls, all inside whole-stage codegen
-    (no Python).  Minima of hex strings are taken lexicographically —
-    identical semantics in any engine with md5().
+        v(s)   = int(md5(s)[:15 hex]) mod p        (one md5 per shingle)
+        h_i(s) = (a_i · v(s) + b_i) mod p          (cheap arithmetic)
+
+    One md5 per shingle instead of num_hashes keeps the JVM-side cost
+    linear in |shingles|; a_i·v < p² ≈ 1e18 stays inside BIGINT (ANSI
+    mode safe).  Identical math in the DuckDB oracle
+    (rdfa_spark/oracle.py MINHASH_CTE).
     """
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    p = F.lit(MINHASH_PRIME).cast("long")
+    vals = F.transform(
+        F.col(shingle_col),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+                   .cast("long") % p)
+    params = F.array(*[
+        F.struct(F.lit(a).cast("long").alias("a"),
+                 F.lit(b).cast("long").alias("b"))
+        for a, b in minhash_params(num_hashes)])
+    # materialize the per-shingle hashes in their own projection so
+    # the md5 work is done once, not once per hash function
+    staged = df.withColumn("_mh_vals", vals)
     mh = F.transform(
-        seeds,
-        lambda i: F.array_min(F.transform(
-            F.col(shingle_col),
-            lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))))
-    return df.withColumn(out, mh)
+        params,
+        lambda prm: F.array_min(F.transform(
+            F.col("_mh_vals"), lambda v: (prm["a"] * v + prm["b"]) % p)))
+    return staged.withColumn(out, mh).drop("_mh_vals")
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str,
@@ -98,6 +124,10 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str,
                          F.explode(band_arr).alias("band"))
               .select(id_col, *keep_cols,
                       "band.band_id", "band.band_hash"))
+    # materialize signatures once: the self-join would otherwise
+    # recompute the whole minhash pipeline on both sides (at cluster
+    # scale this is a persisted signatures table)
+    banded = banded.localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, ["band_id", "band_hash"])
             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

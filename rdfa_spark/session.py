@@ -28,8 +28,10 @@ def get_spark(app_name: str = "rdfa_spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # html blobs are large; keep Arrow batches bounded
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # html blobs are large; keep Arrow batches bounded (~2-4 MB:
+        # big enough to amortize the per-batch channel cost, small
+        # enough that giant pages can't blow worker memory)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
