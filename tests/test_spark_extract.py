@@ -80,9 +80,12 @@ def test_errors_empty_on_clean_pages(pages):
     assert errs.count() == 0
 
 
-def test_extraction_plan_no_shuffle(pages):
-    """Extraction must stay shuffle-free (SURVEY.md §4): a scan ->
-    project -> mapInPandas chain, no Exchange."""
-    plan = extract_triples(pages)._jdf.queryExecution().executedPlan() \
-        .toString()
+def test_extraction_plan_no_shuffle(spark, sf_dir):
+    """Extraction itself must stay shuffle-free (SURVEY.md §4): a
+    scan -> project -> mapInArrow chain, no Exchange.  (load_pages'
+    default input repartition is opt-out-able and is the only
+    Exchange in the pipeline.)"""
+    flat_pages = load_pages(spark, sf_dir, partitions=0)
+    plan = extract_triples(flat_pages)._jdf.queryExecution() \
+        .executedPlan().toString()
     assert "Exchange" not in plan
