@@ -1,0 +1,164 @@
+"""Extension-flag parity: t/07rdfxml.t semantics, @role/@cite/
+@longdesc (tagsoup profile), alt-stylesheet, prefix error codes,
+processor-graph errors."""
+
+from rdfa_spark.core import (RDFA_10, make_config, parse_rdfa,
+                             tagsoup_config)
+from tests.test_core_walk import count
+
+EX = "http://example.com/ns#"
+XHV = "http://www.w3.org/1999/xhtml/vocab#"
+
+RDFXML_MIX = """<html xmlns:ex="http://example.com/ns#"
+\txmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+\txmlns="http://www.w3.org/1999/xhtml"
+\txml:lang="en-gb">
+\t<body>
+\t\t<div about="[ex:r1]" property="ex:test" datatype="rdf:XMLLiteral">
+\t\t\t<rdf:RDF>
+\t\t\t\t<rdf:Description rdf:about="http://example.com/ns#r2">
+\t\t\t\t\t<ex:test rdf:resource="http://example.com/ns#test" />
+\t\t\t\t</rdf:Description>
+\t\t\t</rdf:RDF>
+\t\t</div>
+\t\t<rdf:RDF>
+\t\t\t<rdf:Description rdf:about="http://example.com/ns#r3">
+\t\t\t\t<ex:test rdf:resource="http://example.com/ns#test" />
+\t\t\t\t<ex:literal>Foo</ex:literal>
+\t\t\t</rdf:Description>
+\t\t</rdf:RDF>
+\t</body>
+</html>"""
+
+
+class TestRdfXmlMix:
+    """t/07rdfxml.t"""
+
+    def setup_method(self):
+        cfg = make_config("xhtml", RDFA_10, embedded_rdfxml=1)
+        self.w = parse_rdfa(RDFXML_MIX, "http://example.com/", cfg)
+
+    def test_rdfxml_inside_xmlliteral_shielded(self):
+        # t/07rdfxml.t:40-46
+        assert count(self.w, EX + "r2", EX + "test", EX + "test") == 0
+
+    def test_xmlliteral_contains_markup(self):
+        [t] = [t for t in self.w.triples
+               if t.subj == EX + "r1" and t.pred == EX + "test"]
+        assert "rdf:RDF" in t.obj
+        assert t.datatype and t.datatype.endswith("XMLLiteral")
+
+    def test_embedded_rdfxml_parsed(self):
+        assert count(self.w, EX + "r3", EX + "test", EX + "test") == 1
+
+    def test_lang_inherited_into_rdfxml(self):
+        assert count(self.w, EX + "r3", EX + "literal", "Foo",
+                     lang="en-gb") == 1
+
+    def test_skip_mode(self):
+        cfg = make_config("xhtml", "1.1", embedded_rdfxml=2)
+        w = parse_rdfa(RDFXML_MIX, "http://example.com/", cfg)
+        assert count(w, EX + "r3", EX + "test", EX + "test") == 0
+
+    def test_rdfxml_bnode_named_graph(self):
+        # t/07rdfxml.t:75-100
+        cfg = make_config("xhtml", "1.1", embedded_rdfxml=1, graph=1)
+        w = parse_rdfa(RDFXML_MIX, "http://example.com/", cfg)
+        hits = [t for t in w.triples
+                if t.subj == EX + "r3" and t.pred == EX + "literal"]
+        assert len(hits) == 1
+        assert hits[0].graph and hits[0].graph.startswith("_:")
+
+
+ROLE_CITE = """<html>
+ <body>
+  <div id="widget" role="navigation banner ex:custom"
+       xmlns:ex="http://example.com/ns#">x</div>
+  <blockquote cite="http://example.com/src">q</blockquote>
+  <img longdesc="/desc.html" src="/i.png" />
+ </body>
+</html>"""
+
+
+class TestTagsoupExtensions:
+    """@role (Parser.pm:980-1027), @cite (1030-1056),
+    @longdesc (1493-1514) under the everything-on tagsoup profile."""
+
+    def setup_method(self):
+        self.w = parse_rdfa(ROLE_CITE, "http://example.com/page",
+                            tagsoup_config())
+
+    def test_role_with_id_subject(self):
+        assert count(self.w, "http://example.com/page#widget",
+                     XHV + "role", XHV + "navigation") == 1
+        assert count(self.w, "http://example.com/page#widget",
+                     XHV + "role", XHV + "banner") == 1
+        assert count(self.w, "http://example.com/page#widget",
+                     XHV + "role", EX + "custom") == 1
+
+    def test_cite_bnode_subject(self):
+        hits = [t for t in self.w.triples if t.pred == XHV + "cite"]
+        assert len(hits) == 1
+        assert hits[0].obj == "http://example.com/src"
+        assert hits[0].subj.startswith("_:")
+
+    def test_longdesc(self):
+        hits = [t for t in self.w.triples
+                if t.pred == "http://www.w3.org/2007/05/powder-s#describedby"]
+        assert len(hits) == 1
+        assert hits[0].obj == "http://example.com/desc.html"
+
+
+class TestAltStylesheet:
+    def test_alternate_stylesheet_rel(self):
+        doc = """<html><head>
+          <link rel="alternate stylesheet" href="/alt.css" />
+        </head><body></body></html>"""
+        w = parse_rdfa(doc, "http://example.com/",
+                       tagsoup_config(alt_stylesheet=True))
+        assert count(w, "http://example.com/",
+                     XHV + "ALTERNATE-STYLESHEET",
+                     "http://example.com/alt.css") == 1
+
+
+class TestPrefixErrors:
+    def test_builtin_prefix_redefinition_rejected(self):
+        doc = """<html xmlns="http://www.w3.org/1999/xhtml"
+          xmlns:xml="http://bad.example/">
+         <body about="http://e/x" property="xml:base" content="v"></body>
+        </html>"""
+        w = parse_rdfa(doc, "http://example.com/")
+        assert any(e.code == "prefix-builtin" for e in w.errors)
+        # xml: still resolves to the real XML namespace
+        hits = [t for t in w.triples if t.pred ==
+                "http://www.w3.org/XML/1998/namespace" + "base"]
+        assert hits
+
+    def test_undefined_safe_curie_warning(self):
+        doc = """<html xmlns="http://www.w3.org/1999/xhtml">
+          <body><div about="[nope:x]" property="dc:title"
+                content="v"></div></body></html>"""
+        w = parse_rdfa(doc, "http://example.com/")
+        assert any(e.code == "curie-undefined" for e in w.errors)
+
+    def test_invalid_lang_warning(self):
+        doc = """<html xmlns="http://www.w3.org/1999/xhtml"
+          xml:lang="not!!valid"><body></body></html>"""
+        w = parse_rdfa(doc, "http://example.com/")
+        assert any(e.code == "lang-invalid" for e in w.errors)
+
+
+class TestAtomHost:
+    def test_atom_feed_entry_bnodes_and_iana_rels(self):
+        doc = """<feed xmlns="http://www.w3.org/2005/Atom">
+          <entry>
+            <link rel="license" href="http://example.com/lic" />
+          </entry>
+        </feed>"""
+        cfg = make_config("atom", "1.1", atom_elements=True)
+        w = parse_rdfa(doc, "http://example.com/feed", cfg)
+        # vocab_default = IANA link relations
+        hits = [t for t in w.triples if t.pred ==
+                "http://www.iana.org/assignments/relation/license"]
+        assert len(hits) == 1
+        assert hits[0].subj.startswith("_:")  # entry bnode subject
