@@ -23,8 +23,9 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from rdfa_spark import oracle  # noqa: E402
-from rdfa_spark.extract import (extract_text_df,  # noqa: E402
-                                extract_triples, opengraph)
+from rdfa_spark.extract import (extract_errors,  # noqa: E402
+                                extract_text_df, extract_triples,
+                                opengraph, opengraph_collect)
 from rdfa_spark.functions.similarity import cosine_topk  # noqa: E402
 from rdfa_spark.functions.text import (with_fingerprint,  # noqa: E402
                                        with_language_id,
@@ -85,6 +86,18 @@ def q_entity_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("obj").alias("label"),
                      F.regexp_replace(F.lower("obj"), "[^a-z0-9]", "")
                       .alias("entity_key")))
+
+
+def q_rdfa_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/A6 processor-graph error rollup (Parser.pm:469-487)."""
+    errs = extract_errors(load_pages(spark, sf_dir))
+    return (errs.groupBy("level", "code")
+            .agg(F.count("*").alias("n")))
+
+
+def q_og_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 opengraph collect (Parser.pm:282-319)."""
+    return opengraph_collect(_triples(spark, sf_dir))
 
 
 def q_entity_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,6 +197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfa_pred_counts": q_rdfa_pred_counts,
         "rdfa_text": q_rdfa_text,
         "entity_mentions": q_entity_mentions,
+        "rdfa_errors": q_rdfa_errors,
+        "og_collect": q_og_collect,
         "entity_canonical": q_entity_canonical,
         "cc_chain": q_cc_chain,
         "token_stats": q_token_stats,
@@ -204,6 +219,8 @@ def oracle_sql() -> dict[str, str]:
         "rdfa_pred_counts": oracle.RDFA_PRED_COUNTS_SQL,
         "rdfa_text": oracle.RDFA_TEXT_SQL,
         "entity_mentions": oracle.ENTITY_MENTIONS_SQL,
+        "rdfa_errors": oracle.RDFA_ERRORS_SQL,
+        "og_collect": oracle.OG_COLLECT_SQL,
         "entity_canonical": oracle.ENTITY_CANONICAL_SQL,
         "cc_chain": oracle.CC_CHAIN_SQL,
         "token_stats": oracle.TOKEN_STATS_SQL,

@@ -241,6 +241,81 @@ def opengraph(triples: DataFrame, prop: str | None = None) -> DataFrame:
     )
 
 
+def opengraph_collect(triples: DataFrame) -> DataFrame:
+    """A3 — group OpenGraph values per (page, property) into an
+    ordered list (Parser.pm:282-319), surfaced as a sorted
+    comma-joined string for engine-portable comparison."""
+    og = opengraph(triples)
+    return (og.groupBy("url", "property")
+            .agg(F.concat_ws(",", F.sort_array(F.collect_list("value")))
+                 .alias("values")))
+
+
+RDFA_NS = "http://www.w3.org/ns/rdfa#"
+
+
+def processor_graph(errors: DataFrame) -> DataFrame:
+    """Reify the errors table into RDF (the reference's
+    processor_graph, Parser.pm:374-458): one bnode per error with
+    rdf:type rdfa:Error/rdfa:Warning, dc:description = message,
+    rdfa:context = the page url.  Returns a triples-shaped DataFrame
+    so it unions with the output graph (U1,
+    processor_and_output_graph, Parser.pm:460-467)."""
+    bnode = F.concat(F.lit("_:err"),
+                     F.md5(F.concat_ws("|", "url", "code", "message",
+                                       F.coalesce("node_path",
+                                                  F.lit("")))))
+    base = errors.select(
+        "url", bnode.alias("subj"),
+        F.when(F.col("level") == "error", F.lit(RDFA_NS + "Error"))
+         .otherwise(F.lit(RDFA_NS + "Warning")).alias("type_obj"),
+        F.col("message"), F.col("code"))
+    mk = lambda pred, obj, lit: base.select(  # noqa: E731
+        "url", "subj", F.lit(pred).alias("pred"), obj.alias("obj"),
+        F.lit(lit).alias("obj_is_literal"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(None).cast("string").alias("graph"),
+        F.lit(0).cast("long").alias("emit_seq"))
+    return (mk("http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+               F.col("type_obj"), False)
+            .unionByName(mk("http://purl.org/dc/terms/description",
+                            F.col("message"), True))
+            .unionByName(mk(RDFA_NS + "context", F.col("url"), False)))
+
+
+def processor_and_output_graph(triples: DataFrame,
+                               errors: DataFrame) -> DataFrame:
+    """U1 — union of the output graph and the reified processor
+    graph (Parser.pm:460-467)."""
+    return triples.unionByName(processor_graph(errors))
+
+
+def canonicalize_literals(triples: DataFrame) -> DataFrame:
+    """F8 — optional xsd literal canonicalization
+    (TrineX/Parser/RDFa.pm:163-172; off by default, as in the
+    reference): canonical lexical forms for xsd integer/decimal/
+    boolean typed literals, pure column expressions."""
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    obj, dt = F.col("obj"), F.col("obj_datatype")
+    is_lit = F.col("obj_is_literal")
+    canon = (
+        F.when(is_lit & (dt == XSD + "integer")
+               & obj.rlike(r"^[+-]?\d+$"),
+               F.col("obj").cast("decimal(38,0)").cast("string"))
+         .when(is_lit & (dt == XSD + "boolean")
+               & obj.isin("0", "false", "FALSE", "False"),
+               F.lit("false"))
+         .when(is_lit & (dt == XSD + "boolean")
+               & obj.isin("1", "true", "TRUE", "True"),
+               F.lit("true"))
+         .when(is_lit & (dt == XSD + "decimal")
+               & obj.rlike(r"^[+-]?\d+(\.\d+)?$"),
+               F.col("obj").cast("decimal(38,10)").cast("string"))
+         .otherwise(obj))
+    return triples.withColumn("obj", canon)
+
+
 def graph_counts(triples: DataFrame) -> DataFrame:
     """A1 — named-graph partition counts (Parser.pm:245-257)."""
     return (triples

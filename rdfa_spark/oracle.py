@@ -99,6 +99,26 @@ SELECT url || '#person' AS mention,
 FROM d
 """
 
+# Processor-graph errors: exactly one curie-fellthrough warning per
+# template-1 page (the deliberate undefined-prefix @property).
+RDFA_ERRORS_SQL = """
+SELECT 'warning' AS level,
+       'curie-fellthrough' AS code,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents WHERE doc_id % 3 = 1
+GROUP BY 1, 2
+"""
+
+# A3 opengraph collect: per (url, property) sorted value list.
+OG_COLLECT_SQL = DOCS_CTE + """
+SELECT url, 'title' AS property, title AS values FROM d
+UNION ALL
+SELECT url, 'type' AS property,
+       CASE t WHEN 0 THEN 'article' WHEN 1 THEN 'website'
+              ELSE 'profile' END AS values
+FROM d
+"""
+
 # Connected components on the deterministic chain graph
 # (i <-> i-1 unless i % 10 == 0): component = decade leader.
 CC_CHAIN_SQL = """

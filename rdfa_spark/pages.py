@@ -85,12 +85,15 @@ def _render_html(doc_id: Column, title_e: Column, source_e: Column,
         F.lit('">rel</a><p property="dc:description">'), text_e,
         F.lit("</p></div></body></html>"),
     )
-    head = lambda og_type, xml_style: F.concat(  # noqa: E731
+    # template 1 carries a deliberate non-expandable @property token so
+    # the processor-graph/errors pipeline has deterministic work
+    # (one curie-fellthrough warning per T1 page; no triple emitted)
+    head = lambda og_type, xml_style, extra="": F.concat(  # noqa: E731
         F.lit('<head><title property="dc:title">'), title_e,
         F.lit('</title><meta property="og:title" content="'), title_e,
         F.lit(f'"{" /" if xml_style else ""}>'
               f'<meta property="og:type" content="{og_type}"'
-              f'{" /" if xml_style else ""}></head>'),
+              f'{" /" if xml_style else ""}>{extra}</head>'),
     )
 
     xhtml11 = F.concat(
@@ -99,7 +102,8 @@ def _render_html(doc_id: Column, title_e: Column, source_e: Column,
         lang, F.lit('">'), head("article", True), body)
     html5 = F.concat(
         F.lit('<!DOCTYPE html><html lang="'), lang, F.lit('">'),
-        head("website", False), body)
+        head("website", False,
+             '<meta property="!!bad" content="">'), body)
     xhtml10 = F.concat(
         F.lit('<html xmlns="http://www.w3.org/1999/xhtml" '
               'version="XHTML+RDFa 1.0" '

@@ -75,9 +75,43 @@ def test_graph_counts_default_graph(triples):
     assert len(gc) == 1 and gc[0].graph == "(default)"
 
 
-def test_errors_empty_on_clean_pages(pages):
-    errs = extract_errors(pages)
-    assert errs.count() == 0
+def test_errors_deterministic_t1_warnings(spark, pages):
+    """Template 1 pages carry one deliberate undefined-prefix
+    @property -> exactly one curie-fellthrough warning each; the
+    processor graph reifies them (U1)."""
+    from rdfa_spark.extract import (processor_and_output_graph,
+                                    processor_graph)
+    errs = extract_errors(pages).cache()
+    rows = errs.groupBy("level", "code").count().collect()
+    assert len(rows) == 1
+    assert (rows[0].level, rows[0].code) == ("warning",
+                                             "curie-fellthrough")
+    n_t1 = pages.count() // 3  # doc_id % 3 == 1
+    assert abs(rows[0]["count"] - n_t1) <= 1
+    pg = processor_graph(errs)
+    assert pg.count() == 3 * rows[0]["count"]
+    t = extract_triples(pages)
+    both = processor_and_output_graph(t, errs)
+    assert both.count() == t.count() + pg.count()
+
+
+def test_canonicalize_literals(spark):
+    from rdfa_spark.extract import canonicalize_literals
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    rows = [("u", "s", "p", "0042", True, XSD + "integer", None, None, 0),
+            ("u", "s", "p", "1", True, XSD + "boolean", None, None, 1),
+            ("u", "s", "p", "03.50", True, XSD + "decimal", None, None, 2),
+            ("u", "s", "p", "keep", True, None, "en", None, 3)]
+    df = spark.createDataFrame(rows, schema=(
+        "url string, subj string, pred string, obj string, "
+        "obj_is_literal boolean, obj_datatype string, "
+        "obj_lang string, graph string, emit_seq long"))
+    got = [r.obj for r in canonicalize_literals(df)
+           .orderBy("emit_seq").collect()]
+    assert got[0] == "42"
+    assert got[1] == "true"
+    assert got[2].rstrip("0").rstrip(".") == "3.5"
+    assert got[3] == "keep"
 
 
 def test_extraction_plan_no_shuffle(spark, sf_dir):
