@@ -178,7 +178,12 @@ class Walker:
             hit = self.saved_bnodes.get(ident)
             if hit:
                 return hit
-        rv = f"_:h{self._bnode_prefix}n{self.bnodes:04d}"
+        if self.config.skolemize:
+            # skolem IRIs instead of bnode labels (Parser.pm:2620-2622)
+            rv = (f"tag:buzzword.org.uk,2010:RDF-RDFa-Parser:skolem:"
+                  f"{self._bnode_prefix}:{self.bnodes:04d}")
+        else:
+            rv = f"_:h{self._bnode_prefix}n{self.bnodes:04d}"
         self.bnodes += 1
         if save_me and element is not None:
             self.saved_bnodes["el:%d" % id(element)] = rv
