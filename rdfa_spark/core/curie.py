@@ -35,6 +35,9 @@ NCNAME_RE = re.compile(
 )
 _PREFIXED_RE = re.compile(r"^([^\s:]*):(\S*)$")
 
+_BNODE_RE = re.compile(r"^_:(.+)$", re.I | re.S)
+_SAFE_BNODE_RE = re.compile(r"^\[_:(.+)\]$", re.I | re.S)
+
 ERR_WARNING = "warning"
 ERR_ERROR = "error"
 ERR_CODE_BNODE_WRONGPLACE = "bnode-wrongplace"
@@ -87,24 +90,23 @@ def expand_curie(token: str, attribute: str, prefixes: Mappings,
                  allow_unsafe_default_vocab: bool = False,
                  allow_unsafe_term: bool = False,
                  allow_relative: bool = False) -> str | None:
-    # 1. Blank nodes
-    bn = None
-    if token in ("_:", "[_:]"):
-        bn = bnode("_:")
-    else:
-        m = re.match(r"^_:(.+)$", token, re.I | re.S)
-        if m is None:
-            m = re.match(r"^\[_:(.+)\]$", token, re.I | re.S)
-        if m:
-            bn = bnode("_:" + m.group(1))
-    if bn is not None:
-        if attribute in _BNODE_FORBIDDEN_ATTRS:
-            log_error(ERR_ERROR, ERR_CODE_BNODE_WRONGPLACE,
-                      f"Blank node found in {attribute} where URIs are "
-                      "expected as values.")
-            m = re.match(r"^\[_:(.+)\]$", token, re.I | re.S)
-            return m.group(1) if m else token
-        return bn
+    # 1. Blank nodes (only tokens starting "_:" or "[_" can match)
+    if token.startswith("_:") or token.startswith("[_"):
+        bn = None
+        if token in ("_:", "[_:]"):
+            bn = bnode("_:")
+        else:
+            m = _BNODE_RE.match(token) or _SAFE_BNODE_RE.match(token)
+            if m:
+                bn = bnode("_:" + m.group(1))
+        if bn is not None:
+            if attribute in _BNODE_FORBIDDEN_ATTRS:
+                log_error(ERR_ERROR, ERR_CODE_BNODE_WRONGPLACE,
+                          f"Blank node found in {attribute} where URIs "
+                          "are expected as values.")
+                m = _SAFE_BNODE_RE.match(token)
+                return m.group(1) if m else token
+            return bn
 
     is_safe = False
     if token.startswith("[") and token.endswith("]"):

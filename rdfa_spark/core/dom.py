@@ -70,19 +70,25 @@ class Element:
 
     # -- namespaces -------------------------------------------------
     def nsmap(self) -> dict[str | None, str]:
-        """In-scope xmlns declarations (prefix -> uri; None = default)."""
+        """In-scope xmlns declarations (prefix -> uri; None = default).
+        Shares the parent's map unless this element declares one
+        (copy-on-declare: most elements declare nothing)."""
         if self._nsmap_cache is not None:
             return self._nsmap_cache
-        base: dict[str | None, str] = {}
-        if self.parent is not None:
-            base = dict(self.parent.nsmap())
+        parent_map: dict[str | None, str] = (
+            self.parent.nsmap() if self.parent is not None else {})
+        merged = None
         for k, v in self.attrs.items():
             if k == "xmlns":
-                base[None] = v
+                if merged is None:
+                    merged = dict(parent_map)
+                merged[None] = v
             elif k.startswith("xmlns:"):
-                base[k[6:]] = v
-        self._nsmap_cache = base
-        return base
+                if merged is None:
+                    merged = dict(parent_map)
+                merged[k[6:]] = v
+        self._nsmap_cache = merged if merged is not None else parent_map
+        return self._nsmap_cache
 
     @property
     def namespace_uri(self) -> str | None:

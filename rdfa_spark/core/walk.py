@@ -114,9 +114,21 @@ class _Ctx:
                  "uri_mappings", "term_mappings", "incomplete_triples",
                  "list_mappings", "language", "graph", "xml_base")
 
-    def __init__(self, **kw):
-        for k in self.__slots__:
-            setattr(self, k, kw.get(k))
+    def __init__(self, base=None, parent_subject=None,
+                 parent_object=None, uri_mappings=None,
+                 term_mappings=None, incomplete_triples=None,
+                 list_mappings=None, language=None, graph=None,
+                 xml_base=None):
+        self.base = base
+        self.parent_subject = parent_subject
+        self.parent_object = parent_object
+        self.uri_mappings = uri_mappings
+        self.term_mappings = term_mappings
+        self.incomplete_triples = incomplete_triples
+        self.list_mappings = list_mappings
+        self.language = language
+        self.graph = graph
+        self.xml_base = xml_base
 
 
 class Walker:
@@ -298,6 +310,13 @@ class Walker:
     def _consume_element(self, el: Element, ctx: _Ctx) -> bool:
         cfg = self.config
         self._cur_element = el
+        # hot path: RDFa attributes are unprefixed unless the host
+        # sets a namespace (ODF); bind the lookup once per element
+        if cfg.ns is None:
+            _ga = el.attrs.get
+        else:
+            def _ga(name, _el=el):
+                return self._attr_ns(_el, cfg.ns, name)
 
         base = ctx.base
         parent_subject = ctx.parent_subject
@@ -401,7 +420,7 @@ class Walker:
                         m.sensitive[pfx] = uri_val
 
         # ---- RDFa 1.1 @prefix (Parser.pm:856-897)
-        prefix_attr = self._attr(el, "prefix")
+        prefix_attr = _ga("prefix")
         if prefix_attr is not None:
             if cfg.prefix_attr:
                 bits = [b for b in re.split(r"[\s\r\n]+", prefix_attr)
@@ -427,7 +446,7 @@ class Walker:
                                "@prefix found, but support disabled.")
 
         # ---- @vocab (Parser.pm:900-925)
-        vocab_attr = self._attr(el, "vocab")
+        vocab_attr = _ga("vocab")
         if vocab_attr is not None:
             if cfg.vocab_attr:
                 m = mutable_uri_mappings()
@@ -466,7 +485,7 @@ class Walker:
             activity += 1
 
         # ---- @role extension (Parser.pm:980-1027)
-        role_attr = self._attr(el, "role")
+        role_attr = _ga("role")
         if cfg.role_attr and role_attr is not None:
             roles = [
                 r for r in (self.expand_curie(
@@ -483,7 +502,7 @@ class Walker:
                     activity += 1
 
         # ---- @cite extension (Parser.pm:1030-1056)
-        cite_attr_v = self._attr(el, "cite")
+        cite_attr_v = _ga("cite")
         if cfg.cite_attr and cite_attr_v is not None:
             citation = self.uri(cite_attr_v, xml_base=hrefsrc_base)
             if citation is not None:
@@ -494,8 +513,8 @@ class Walker:
                 activity += 1
 
         # ---- @rel/@rev tokens (Parser.pm:1058-1088)
-        rel_tokens = _split_tokens(self._attr(el, "rel"))
-        rev_tokens = _split_tokens(self._attr(el, "rev"))
+        rel_tokens = _split_tokens(_ga("rel"))
+        rev_tokens = _split_tokens(_ga("rev"))
         if cfg.alt_stylesheet \
                 and any(t.lower() == "alternate" for t in rel_tokens) \
                 and any(t.lower() == "stylesheet" for t in rel_tokens):
@@ -515,15 +534,15 @@ class Walker:
         REL = _expand_list(rel_tokens, "rel")
         REV = _expand_list(rev_tokens, "rev")
 
-        has_rel = self._has(el, "rel")
-        has_rev = self._has(el, "rev")
-        has_prop = self._has(el, "property")
-        has_typeof = self._has(el, "typeof") or self._has(el, "instanceof")
-        has_inlist = cfg.inlist_attr and self._has(el, "inlist")
+        has_rel = (_ga("rel") is not None)
+        has_rev = (_ga("rev") is not None)
+        has_prop = (_ga("property") is not None)
+        has_typeof = (_ga("typeof") is not None) or (_ga("instanceof") is not None)
+        has_inlist = cfg.inlist_attr and (_ga("inlist") is not None)
 
         # ---- subject-resolution closures (Parser.pm:1090-1211)
         def ns_about():
-            v = self._attr(el, "about")
+            v = _ga("about")
             if v is not None:
                 return self.expand_curie(v, el, "about",
                                          local_uri_mappings,
@@ -531,13 +550,13 @@ class Walker:
             return None
 
         def ns_src():
-            v = self._attr(el, "src")
+            v = _ga("src")
             if v is not None:
                 return self.uri(v, xml_base=hrefsrc_base)
             return None
 
         def ns_resource():
-            v = self._attr(el, "resource")
+            v = _ga("resource")
             if v is not None:
                 return self.expand_curie(v, el, "resource",
                                          local_uri_mappings,
@@ -545,7 +564,7 @@ class Walker:
             return None
 
         def ns_href():
-            v = self._attr(el, "href")
+            v = _ga("href")
             if v is not None:
                 return self.uri(v, xml_base=hrefsrc_base)
             return None
@@ -560,8 +579,8 @@ class Walker:
         def ns_defaults():
             if is_root:
                 return self.uri("", xml_base=hrefsrc_base)
-            if cfg.xhtml_elements and el.namespace_uri == XHTML_NS \
-                    and el.localname in ("head", "body"):
+            if cfg.xhtml_elements and el.localname in ("head", "body") \
+                    and el.namespace_uri == XHTML_NS:
                 if cfg.xhtml_elements == 2:
                     return parent_object
                 return self.uri("", xml_base=hrefsrc_base)
@@ -581,8 +600,8 @@ class Walker:
         src_last = [ns_src] if cfg.src_sets_object else []
 
         if not has_rel and not has_rev and has_prop \
-                and not self._has(el, "datatype") \
-                and not self._has(el, "content") \
+                and not (_ga("datatype") is not None) \
+                and not (_ga("content") is not None) \
                 and cfg.property_resources:
             # property-without-content/datatype branch
             # (Parser.pm:1220-1306)
@@ -628,7 +647,7 @@ class Walker:
                     break
                 current_object_resource = code()
             if has_typeof:
-                if self._has(el, "about"):
+                if (_ga("about") is not None):
                     typed_resource = new_subject
                 elif cfg.typeof_resources:
                     if not current_object_resource:
@@ -639,8 +658,8 @@ class Walker:
 
         # ---- rdf:type emission (Parser.pm:1427-1490)
         if typed_resource and has_typeof:
-            tokens = _split_tokens(self._attr(el, "typeof")
-                                   or self._attr(el, "instanceof"))
+            tokens = _split_tokens(_ga("typeof")
+                                   or _ga("instanceof"))
             for t in tokens:
                 rdftype = self.expand_curie(
                     t, el, "typeof", local_uri_mappings,
@@ -652,8 +671,8 @@ class Walker:
                 activity += 1
 
         # ---- @longdesc extension (Parser.pm:1493-1514)
-        if cfg.longdesc_attr and self._has(el, "longdesc"):
-            longdesc = self.uri(self._attr(el, "longdesc"),
+        if cfg.longdesc_attr and (_ga("longdesc") is not None):
+            longdesc = self.uri(_ga("longdesc"),
                                 xml_base=hrefsrc_base)
             if longdesc is not None and new_subject:
                 self._emit(new_subject,
@@ -700,28 +719,28 @@ class Walker:
             current_object_resource = self.bnode()
 
         # ---- current property value (Parser.pm:1694-1953)
-        prop_tokens = _split_tokens(self._attr(el, "property"))
-        has_datatype = self._has(el, "datatype")
+        prop_tokens = _split_tokens(_ga("property"))
+        has_datatype = (_ga("datatype") is not None)
         datatype = None
         if has_datatype:
             datatype = self.expand_curie(
-                self._attr(el, "datatype"), el, "datatype",
+                _ga("datatype"), el, "datatype",
                 local_uri_mappings, local_term_mappings, xml_base)
 
         cpv = None          # (value, datatype, lang) literal
         cpv_resource = None  # IRI object (property-resources)
         if prop_tokens:
-            content_v = self._attr(el, "content")
-            datetime_v = self._attr(el, "datetime")
-            is_time_el = (el.namespace_uri == XHTML_NS
-                          and el.localname.lower() == "time")
+            content_v = _ga("content")
+            datetime_v = _ga("datetime")
+            is_time_el = (el.localname.lower() == "time"
+                          and el.namespace_uri == XHTML_NS)
             if cfg.datetime_attr and (datetime_v is not None or is_time_el):
                 value = (datetime_v if datetime_v is not None
                          else el.text_content())
                 dt = datatype if has_datatype else _sniff_datetime(value)
                 cpv = (value, dt, current_language)
-            elif cfg.value_attr and self._has(el, "value"):
-                cpv = (self._attr(el, "value"),
+            elif cfg.value_attr and (_ga("value") is not None):
+                cpv = (_ga("value"),
                        datatype if has_datatype else None,
                        current_language)
             elif content_v is not None:
@@ -737,11 +756,11 @@ class Walker:
             elif has_datatype:
                 cpv = (el.text_content(), datatype, current_language)
             elif (cfg.property_resources and not has_rel and not has_rev
-                  and (self._has(el, "resource") or self._has(el, "href")
-                       or (self._has(el, "src")
+                  and ((_ga("resource") is not None) or (_ga("href") is not None)
+                       or ((_ga("src") is not None)
                            and cfg.src_sets_object))):
                 for attr in ("resource", "href", "src"):
-                    v = self._attr(el, attr)
+                    v = _ga(attr)
                     if v is None:
                         continue
                     cpv_resource = self.expand_curie(
@@ -750,8 +769,8 @@ class Walker:
                     if cpv_resource is not None:
                         break
             elif (cfg.property_resources and typed_resource is not None
-                  and self._has(el, "typeof")
-                  and not self._has(el, "about")):
+                  and (_ga("typeof") is not None)
+                  and not (_ga("about") is not None)):
                 cpv_resource = typed_resource
             elif not el.has_descendant_elements():
                 cpv = (el.text_content(),
