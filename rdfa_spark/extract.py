@@ -102,15 +102,17 @@ def _walk_arrow_batches(batches, config: Config | None):
     import pyarrow as pa
 
     for rb in batches:
-        urls = rb.column(rb.schema.get_field_index("url"))
-        htmls = rb.column(rb.schema.get_field_index("html"))
+        # bulk-convert the batch once (C loop) instead of per-row
+        # scalar .as_py() calls
+        urls = rb.column(rb.schema.get_field_index("url")).to_pylist()
+        htmls = rb.column(rb.schema.get_field_index("html")).to_pylist()
         c_url, c_subj, c_pred, c_obj = [], [], [], []
         c_lit, c_dt, c_lang, c_graph, c_seq = [], [], [], [], []
         for i in range(rb.num_rows):
-            html = htmls[i].as_py()
+            html = htmls[i]
             if html is None:
                 continue
-            url = urls[i].as_py()
+            url = urls[i]
             try:
                 w = parse_rdfa(html, url, _config_for(html, config))
             except Exception:
