@@ -26,14 +26,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "48"))
-# N -> 4N scaling pair, taskset-confined.  2->8 stays below this
-# VM's memory-bandwidth knee; a raw-multiprocessing (no Spark) control
-# shows the box itself caps 8->32 scaling of ANY python parse workload
-# at ~0.73 (see BENCH.md), so low-N pairs are the honest same-input
-# comparison on a single box.  On a multi-executor cluster each node
-# brings its own memory subsystem and the stage has zero shuffle.
-SCALING_CORES = tuple(int(x) for x in os.environ.get(
-    "SPARK_GRAFT_SCALING", "2,8").split(","))
 
 
 def _extraction_throughput(cpus: int, replicate: int) -> dict:
@@ -78,20 +70,60 @@ def _extraction_throughput(cpus: int, replicate: int) -> dict:
         spark.stop()
 
 
-def _run_worker(cpus: int, replicate: int) -> dict:
-    """Run the extraction job in a subprocess confined (taskset) to
-    exactly `cpus` cores — local[N] alone lets JVM threads borrow idle
-    cores beyond N, which would corrupt the N-vs-4N comparison."""
+def _worker_cmd(cpus: int, replicate: int,
+                core_range: str | None = None) -> list[str]:
     cmd = [sys.executable, os.path.abspath(__file__),
            "--worker", str(cpus), str(replicate)]
     if os.path.exists("/usr/bin/taskset"):
-        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-    out = subprocess.run(
-        cmd, capture_output=True, text=True, timeout=1200,
-        cwd=os.path.dirname(os.path.abspath(__file__)))
-    line = [l for l in out.stdout.splitlines()
-            if l.startswith("{")][-1]
+        cmd = ["taskset", "-c",
+               core_range or f"0-{cpus - 1}"] + cmd
+    return cmd
+
+
+def _parse_worker(stdout: str) -> dict:
+    line = [l for l in stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
+
+
+def _run_worker(cpus: int, replicate: int,
+                core_range: str | None = None) -> dict:
+    """Run the extraction job in a subprocess confined (taskset) to
+    exactly `cpus` cores — local[N] alone lets JVM threads borrow idle
+    cores beyond N, which would corrupt the N-vs-4N comparison."""
+    out = subprocess.run(
+        _worker_cmd(cpus, replicate, core_range),
+        capture_output=True, text=True, timeout=1200,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    return _parse_worker(out.stdout)
+
+
+def _executor_sim(exec_cores: int, replicate: int) -> dict:
+    """N -> 4N *executors*: one JVM on `exec_cores` dedicated cores,
+    then four concurrent JVMs on disjoint core sets — each executor
+    is its own JVM + python workers, exactly the multi-executor
+    layout of a real cluster (spark-submit with 4 executors)."""
+    one = _run_worker(exec_cores, replicate,
+                      core_range=f"0-{exec_cores - 1}")
+    procs = []
+    for i in range(4):
+        lo, hi = i * exec_cores, (i + 1) * exec_cores - 1
+        procs.append(subprocess.Popen(
+            _worker_cmd(exec_cores, replicate, f"{lo}-{hi}"),
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__))))
+    four = [_parse_worker(p.communicate(timeout=1200)[0])
+            for p in procs]
+    tot = sum(x["triples_per_sec"] for x in four)
+    return {
+        "mode": f"executor_sim_1x{exec_cores}_vs_4x{exec_cores}",
+        "exec_cores": exec_cores,
+        "triples_per_sec_1exec": one["triples_per_sec"],
+        "triples_per_sec_4exec_each": [x["triples_per_sec"]
+                                       for x in four],
+        "triples_per_sec_4exec_total": round(tot, 1),
+        "efficiency": round(tot / (4 * one["triples_per_sec"]), 3),
+    }
 
 
 def main() -> None:
@@ -105,13 +137,8 @@ def main() -> None:
     full = _run_worker(CPUS, REPLICATE)
     timings["extract_triples"] = full["sec"]
 
-    # ---- N -> 4N scaling on the SAME input (north_rule evidence) ---
-    scale_rep = max(REPLICATE // 2, 4)
-    lo = _run_worker(SCALING_CORES[0], scale_rep)
-    hi = _run_worker(SCALING_CORES[1], scale_rep)
-    efficiency = (hi["triples_per_sec"]
-                  / (lo["triples_per_sec"]
-                     * (SCALING_CORES[1] / SCALING_CORES[0])))
+    # ---- N -> 4N executor scaling on the SAME input (north_rule) ---
+    scaling = _executor_sim(max(CPUS // 4, 1), max(REPLICATE // 2, 4))
 
     # ---- operator queries at sf dir --------------------------------
     spark = get_spark("bench_queries", cpus=CPUS,
@@ -142,13 +169,7 @@ def main() -> None:
             "n_pages": full["n_pages"],
             "n_triples": full["n_triples"],
         },
-        "scaling": {
-            "cores_lo": SCALING_CORES[0],
-            "cores_hi": SCALING_CORES[1],
-            "triples_per_sec_lo": lo["triples_per_sec"],
-            "triples_per_sec_hi": hi["triples_per_sec"],
-            "efficiency": round(efficiency, 3),
-        },
+        "scaling": scaling,
     }))
 
 
