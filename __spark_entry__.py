@@ -173,6 +173,55 @@ def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(F.col("id_a"), F.col("id_b"))
 
 
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function sessionization over the events stream table
+    (30-minute inactivity gap)."""
+    from pyspark.sql import Window
+    # ts is TIMESTAMP_NTZ; epoch seconds must be tz-independent to
+    # match DuckDB's epoch(), so pin the session tz for the NTZ->LTZ
+    # cast regardless of how the caller built the session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id",
+        F.col("ts").cast("timestamp_ltz").cast("long").alias("sec"))
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    gaps = ev.withColumn(
+        "new_session",
+        F.when(F.lag("sec").over(w).isNull()
+               | ((F.col("sec") - F.lag("sec").over(w)) > 1800),
+               F.lit(1)).otherwise(F.lit(0)))
+    sess = gaps.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("sec").alias("start_sec"),
+                 F.max("sec").alias("end_sec"))
+            .select("user_id",
+                    F.col("session_id").cast("bigint")
+                     .alias("session_id"),
+                    "n_events", "start_sec", "end_sec"))
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join + agg over the TPC-H-ish tables; broadcast dims,
+    exact decimal arithmetic so shuffle order can't perturb values."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa
+    li, orders = rd("lineitem"), rd("orders")
+    cust, nation = rd("customer"), rd("nation")
+    term = (F.col("l_extendedprice").cast("decimal(18,6)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation),
+                  cust.c_nationkey == nation.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.count("*").alias("n_items"),
+                 F.floor(F.sum(term) * 100).cast("bigint")
+                  .alias("revenue_cents")))
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") % 50 == 0) \
@@ -209,6 +258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "minhash_band_pairs": q_minhash_band_pairs,
         "ann_topk": q_ann_topk,
+        "event_sessions": q_event_sessions,
+        "revenue_by_nation": q_revenue_by_nation,
     }
 
 
@@ -231,4 +282,6 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signature": oracle.MINHASH_SIGNATURE_SQL,
         "minhash_band_pairs": oracle.MINHASH_BAND_PAIRS_SQL,
         "ann_topk": oracle.ANN_TOPK_SQL,
+        "event_sessions": oracle.EVENT_SESSIONS_SQL,
+        "revenue_by_nation": oracle.REVENUE_BY_NATION_SQL,
     }

@@ -128,6 +128,52 @@ FROM documents
 """
 
 # ---------------------------------------------------------------------------
+# Relational surface: window functions + multi-way join coverage
+# (classic operators the engine gets from Catalyst; oracled in DuckDB)
+# ---------------------------------------------------------------------------
+
+EVENT_SESSIONS_SQL = """
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+), gaps AS (
+  SELECT user_id, event_id, sec,
+         CASE WHEN lag(sec) OVER (PARTITION BY user_id
+                                  ORDER BY sec, event_id) IS NULL
+                OR sec - lag(sec) OVER (PARTITION BY user_id
+                                        ORDER BY sec, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+), sess AS (
+  SELECT user_id, event_id, sec,
+         sum(new_session) OVER (PARTITION BY user_id
+                                ORDER BY sec, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(sec) AS start_sec, max(sec) AS end_sec
+FROM sess GROUP BY user_id, session_id
+"""
+
+# decimal arithmetic end-to-end: exact + associative, so shuffle
+# order can't perturb the cross-engine comparison
+REVENUE_BY_NATION_SQL = """
+SELECT n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(floor(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                      * CAST(1 - l.l_discount AS DECIMAL(18,6)))
+                  * 100) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+# ---------------------------------------------------------------------------
 # Training-data ops over the documents table
 # ---------------------------------------------------------------------------
 
