@@ -1,0 +1,192 @@
+"""Additional RDFa processing-model edge cases (W3C spec semantics
+the reference implements; beyond the t/*.t ports)."""
+
+from rdfa_spark.core import RDFA_10, make_config, parse_rdfa
+from tests.test_core_walk import count
+
+EX = "http://example.com/ns#"
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+DCT = "http://purl.org/dc/terms/"
+B = "http://example.com/"
+
+
+class TestRelPropertyCombinations:
+    def test_rel_and_property_same_element(self):
+        # rel triples + literal property triples from one element
+        doc = """<html xmlns="http://www.w3.org/1999/xhtml"
+          xmlns:ex="http://example.com/ns#">
+         <body about="http://example.com/s">
+          <a rel="ex:link" property="ex:label"
+             href="http://example.com/o">text</a>
+         </body></html>"""
+        w = parse_rdfa(doc, B)
+        assert count(w, "http://example.com/s", EX + "link",
+                     "http://example.com/o") == 1
+        assert count(w, "http://example.com/s", EX + "label",
+                     "text") == 1
+
+    def test_rev_only_incomplete_completion(self):
+        doc = """<html xmlns="http://www.w3.org/1999/xhtml"
+          xmlns:ex="http://example.com/ns#">
+         <body about="http://example.com/s">
+          <div rev="ex:parent">
+            <span about="http://example.com/c">x</span>
+          </div>
+         </body></html>"""
+        w = parse_rdfa(doc, B)
+        assert count(w, "http://example.com/c", EX + "parent",
+                     "http://example.com/s") == 1
+
+    def test_nested_skip_element_inherits(self):
+        # element with no RDFa attrs: children inherit parent_object
+        doc = """<html xmlns="http://www.w3.org/1999/xhtml"
+          xmlns:ex="http://example.com/ns#">
+         <body about="http://example.com/s">
+          <div><div><span property="ex:p">v</span></div></div>
+         </body></html>"""
+        w = parse_rdfa(doc, B)
+        assert count(w, "http://example.com/s", EX + "p", "v") == 1
+
+
+class TestPropertyResources11:
+    """RDFa 1.1 property_resources: @property with @href/@resource
+    becomes an IRI triple (Parser.pm:1860-1905)."""
+
+    def test_property_with_resource(self):
+        doc = """<html xmlns="http://www.w3.org/1999/xhtml"
+          xmlns:ex="http://example.com/ns#">
+         <body about="http://example.com/s">
+          <link property="ex:rel" resource="http://example.com/o" />
+         </body></html>"""
+        w = parse_rdfa(doc, B)
+        [t] = [t for t in w.triples if t.pred == EX + "rel"]
+        assert not t.is_literal and t.obj == "http://example.com/o"
+
+    def test_property_typeof_no_about_object(self):
+        # @property + @typeof (no @about): object = typed bnode
+        doc = """<html xmlns="http://www.w3.org/1999/xhtml"
+          xmlns:ex="http://example.com/ns#">
+         <body about="http://example.com/s">
+          <div property="ex:item" typeof="ex:Thing">x</div>
+         </body></html>"""
+        w = parse_rdfa(doc, B)
+        [t] = [t for t in w.triples if t.pred == EX + "item"]
+        assert not t.is_literal and t.obj.startswith("_:")
+        assert count(w, t.obj, RDF + "type", EX + "Thing") == 1
+
+    def test_10_property_is_literal_even_with_resource(self):
+        # RDFa 1.0: property never produces IRI objects
+        doc = """<html xmlns="http://www.w3.org/1999/xhtml"
+          xmlns:ex="http://example.com/ns#">
+         <body about="http://example.com/s">
+          <link property="ex:rel" resource="http://example.com/o" />
+         </body></html>"""
+        cfg = make_config("xhtml", RDFA_10)
+        w = parse_rdfa(doc, B, cfg)
+        [t] = [t for t in w.triples if t.pred == EX + "rel"]
+        assert t.is_literal and t.obj == ""
+
+
+class TestContentAndDatatype:
+    def test_content_with_datatype(self):
+        doc = """<html xmlns="http://www.w3.org/1999/xhtml"
+          xmlns:ex="http://example.com/ns#"
+          xmlns:xsd="http://www.w3.org/2001/XMLSchema#">
+         <body about="http://example.com/s">
+          <span property="ex:n" content="5" datatype="xsd:int">five</span>
+         </body></html>"""
+        w = parse_rdfa(doc, B)
+        [t] = [t for t in w.triples if t.pred == EX + "n"]
+        assert t.obj == "5"
+        assert t.datatype == "http://www.w3.org/2001/XMLSchema#int"
+        assert t.lang is None  # typed literals carry no language
+
+    def test_empty_datatype_plain_literal(self):
+        doc = """<html xmlns="http://www.w3.org/1999/xhtml"
+          xmlns:ex="http://example.com/ns#" xml:lang="en">
+         <body about="http://example.com/s">
+          <span property="ex:p" datatype=""><b>rich</b> text</span>
+         </body></html>"""
+        w = parse_rdfa(doc, B)
+        [t] = [t for t in w.triples if t.pred == EX + "p"]
+        assert t.obj == "rich text"
+        assert t.datatype is None and t.lang == "en"
+
+    def test_xmllit_default_in_10(self):
+        # RDFa 1.0: element children default to XMLLiteral
+        doc = """<html xmlns="http://www.w3.org/1999/xhtml"
+          xmlns:ex="http://example.com/ns#">
+         <body about="http://example.com/s">
+          <span property="ex:p"><b>x</b></span>
+         </body></html>"""
+        w = parse_rdfa(doc, B, make_config("xhtml", RDFA_10))
+        [t] = [t for t in w.triples if t.pred == EX + "p"]
+        assert t.datatype == RDF + "XMLLiteral"
+        # RDFa 1.1: plain string literal instead
+        w = parse_rdfa(doc, B)
+        [t] = [t for t in w.triples if t.pred == EX + "p"]
+        assert t.datatype is None and t.obj == "x"
+
+
+class TestVocabAndPrefixScoping:
+    def test_prefix_scoping_restored_after_subtree(self):
+        doc = """<html xmlns="http://www.w3.org/1999/xhtml">
+         <body about="http://example.com/s">
+          <div prefix="ex: http://example.com/a#">
+            <span property="ex:p" content="1"></span>
+          </div>
+          <div prefix="ex: http://example.com/b#">
+            <span property="ex:p" content="2"></span>
+          </div>
+         </body></html>"""
+        w = parse_rdfa(doc, B)
+        assert count(w, "http://example.com/s",
+                     "http://example.com/a#p", "1") == 1
+        assert count(w, "http://example.com/s",
+                     "http://example.com/b#p", "2") == 1
+
+    def test_prefix_overrides_xmlns(self):
+        doc = """<html xmlns="http://www.w3.org/1999/xhtml"
+          xmlns:ex="http://example.com/xmlns#"
+          prefix="ex: http://example.com/prefix#">
+         <body about="http://example.com/s">
+          <span property="ex:p" content="v"></span>
+         </body></html>"""
+        w = parse_rdfa(doc, B)
+        assert count(w, "http://example.com/s",
+                     "http://example.com/prefix#p", "v") == 1
+
+    def test_vocab_scoping(self):
+        doc = """<html xmlns="http://www.w3.org/1999/xhtml">
+         <body about="http://example.com/s" vocab="http://v1.example/">
+          <span property="a" content="1"></span>
+          <div vocab="http://v2.example/">
+            <span property="b" content="2"></span>
+          </div>
+          <span property="c" content="3"></span>
+         </body></html>"""
+        w = parse_rdfa(doc, B)
+        assert count(w, pred="http://v1.example/a") == 1
+        assert count(w, pred="http://v2.example/b") == 1
+        assert count(w, pred="http://v1.example/c") == 1
+
+
+class TestTagSoupRobustness:
+    def test_unclosed_tags(self):
+        doc = ("<html><body about=http://example.com/s>"
+               "<p property=dc:title>Title"
+               "<p property=dc:description>Desc")
+        w = parse_rdfa(doc.encode(), B, make_config("html5", "1.1"))
+        assert count(w, "http://example.com/s", DCT + "title",
+                     "Title") == 1
+        assert count(w, "http://example.com/s", DCT + "description",
+                     "Desc") == 1
+
+    def test_malformed_xml_falls_back_to_soup(self):
+        doc = b"""<?xml version="1.0"?><html xmlns="http://www.w3.org/1999/xhtml">
+          <body about="http://example.com/s">
+          <span property="dc:title">T</span><b>unclosed
+          </body></html>"""
+        w = parse_rdfa(doc, B)  # xml parse fails -> tag-soup
+        assert count(w, "http://example.com/s", DCT + "title",
+                     "T") == 1
