@@ -304,6 +304,13 @@ class Walker:
         )
         if self.doc.root is not None:
             self._consume_element(self.doc.root, ctx)
+            # optional AtomOWL overlay with the shared bnode
+            # allocator (Parser.pm:536-542)
+            if cfg.atom_parser:
+                from .atomowl import consume_atom
+                consume_atom(self, self.doc.root, self.base_uri,
+                             graph=(cfg.graph_default if cfg.graph
+                                    else None))
         return self
 
     # ------------------------------------------------------------------

@@ -162,3 +162,72 @@ class TestAtomHost:
                 "http://www.iana.org/assignments/relation/license"]
         assert len(hits) == 1
         assert hits[0].subj.startswith("_:")  # entry bnode subject
+
+
+ATOM_FEED = """<?xml version="1.0" encoding="utf-8"?>
+<feed xmlns="http://www.w3.org/2005/Atom"
+\txmlns:rel="http://example.com/rel#"
+\txmlns:product="http://example.com/product#"
+\txmlns:currency="http://example.com/currency#">
+  <title type="text">dive into mark</title>
+  <updated>2005-07-31T12:29:29Z</updated>
+  <id>tag:example.org,2003:3</id>
+  <link rel="self" type="application/atom+xml"
+   href="http://example.org/feed.atom"/>
+  <entry>
+    <title>Atom draft-07 snapshot</title>
+    <link rel="enclosure" type="audio/mpeg" length="1337"
+     href="http://example.org/audio/ph34r_my_podcast.mp3"/>
+    <id>tag:example.org,2003:3.2397</id>
+    <updated>2005-07-31T12:29:29Z</updated>
+    <author>
+      <name>Mark Pilgrim</name>
+      <uri>http://example.org/</uri>
+    </author>
+  </entry>
+</feed>"""
+
+AWOL = "http://bblfish.net/work/atom-owl/2006-06-06/#"
+IANA = "http://www.iana.org/assignments/relation/"
+XSDNS = "http://www.w3.org/2001/XMLSchema#"
+
+
+class TestAtomOwlOverlay:
+    """t/08atom.t (atom_parser=1): AtomOWL overlay + IANA rels +
+    shared bnode subjects between the RDFa layer and the overlay."""
+
+    def setup_method(self):
+        cfg = make_config("atom", "1.0", atom_parser=True)
+        self.w = parse_rdfa(ATOM_FEED, "http://example.com/", cfg)
+
+    def test_feed_and_entry_ids(self):
+        # t/08atom.t:85-103
+        assert count(self.w, pred=AWOL + "id",
+                     obj="tag:example.org,2003:3",
+                     datatype=XSDNS + "anyURI") == 1
+        assert count(self.w, pred=AWOL + "id",
+                     obj="tag:example.org,2003:3.2397",
+                     datatype=XSDNS + "anyURI") == 1
+
+    def test_iana_enclosure_link(self):
+        # t/08atom.t:105-112 (this comes from the RDFa layer)
+        assert count(self.w, pred=IANA + "enclosure",
+                     obj="http://example.org/audio/"
+                         "ph34r_my_podcast.mp3") >= 1
+
+    def test_author_uri(self):
+        # t/08atom.t ASK: ?entry awol:author [ awol:uri <...> ]
+        [a] = [t for t in self.w.triples
+               if t.pred == AWOL + "author"]
+        assert count(self.w, a.obj, AWOL + "uri",
+                     "http://example.org/") == 1
+
+    def test_shared_bnode_subjects(self):
+        # the entry's awol:id subject must equal the RDFa layer's
+        # entry bnode (shared allocator)
+        [idt] = [t for t in self.w.triples
+                 if t.pred == AWOL + "id"
+                 and t.obj.endswith("3.2397")]
+        enc = [t for t in self.w.triples
+               if t.pred == IANA + "enclosure"]
+        assert enc and enc[0].subj == idt.subj
