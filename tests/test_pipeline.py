@@ -154,3 +154,23 @@ def test_resumable_materialization(spark, sf_dir, tmp_path):
     assert lin.agg(F.sum("n_triples")).first()[0] == total
     # subject bucketing present
     assert "subj_bucket" in run.triples().columns
+
+
+def test_cc_salted_hot_hub(spark):
+    """Explicit skew salting: a hot hub is split into replicas but
+    components are unchanged (north_rule skew handling)."""
+    from rdfa_spark.pipeline.cc import (connected_components_salted,
+                                        salt_hot_nodes, SALT_MARKER)
+    edges = ([("hub", f"leaf{i:03d}") for i in range(200)]
+             + [(f"c{i}", f"c{i + 1}") for i in range(5)])
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    # salting actually triggers for the hub
+    salted = salt_hot_nodes(df, max_degree=50, n_salts=4)
+    assert salted.filter(
+        salted["a"].contains(SALT_MARKER)
+        | salted["b"].contains(SALT_MARKER)).count() > 0
+    got = {r.node: r.component for r in
+           connected_components_salted(
+               df, max_degree=50, n_salts=4).collect()}
+    want = _union_find(edges)
+    assert got == want
