@@ -271,3 +271,43 @@ def guess_version_from_root(version_attr: str | None) -> str | None:
 
 def with_options(cfg: Config, **options) -> Config:
     return replace(cfg, **options)
+
+
+AUTO_CONFIG_META_NAME = \
+    "http://search.cpan.org/dist/RDF-RDFa-Parser/#auto_config"
+
+_FIELD_TYPES = {f.name: f.type for f in fields(Config)}
+
+
+def parse_auto_config(opt_strings: list[str], cfg: Config) -> Config:
+    """F7 — auto-config from ``<meta>`` content
+    (Config.pm:405-459): application/x-www-form-urlencoded option
+    pairs; ``dom_parser``/``auto_config`` ignored; initial_context
+    concatenates."""
+    from urllib.parse import unquote
+
+    merged: dict = {}
+    for optstr in opt_strings:
+        s = optstr.replace(";", "&").replace("+", "%20")
+        for part in s.split("&"):
+            if not part:
+                continue
+            k, _, v = part.partition("=")
+            k, v = unquote(k).lower(), unquote(v)
+            if not k or k in ("use_rtnlx", "dom_parser", "auto_config"):
+                continue
+            if k not in _FIELD_NAMES:
+                continue
+            ftype = str(_FIELD_TYPES.get(k, "str"))
+            val: object = v
+            if "bool" in ftype:
+                val = v not in ("", "0", "false")
+            elif "int" in ftype:
+                try:
+                    val = int(v)
+                except ValueError:
+                    continue
+            if k == "initial_context":
+                val = (getattr(cfg, k, "") + " " + v).strip()
+            merged[k] = val
+    return replace(cfg, **merged) if merged else cfg

@@ -152,6 +152,17 @@ class Walker:
             base.encode("utf-8")).hexdigest()[:10]
         self._cur_element: Element | None = None
 
+        # F7 auto-config from <meta> (Config.pm:405-459; flag off by
+        # default, as in the reference)
+        if config.auto_config and doc.root is not None:
+            from .config import AUTO_CONFIG_META_NAME, parse_auto_config
+            opts = [el.get("content", "")
+                    for el in doc.iter_elements()
+                    if el.localname == "meta"
+                    and el.get("name") == AUTO_CONFIG_META_NAME]
+            if opts:
+                self.config = config = parse_auto_config(opts, config)
+
         # version guessing from root @version (Config.pm:342-367)
         if config.guess_rdfa_version and doc.root is not None:
             guessed = guess_version_from_root(doc.root.get("version"))

@@ -231,3 +231,39 @@ class TestAtomOwlOverlay:
         enc = [t for t in self.w.triples
                if t.pred == IANA + "enclosure"]
         assert enc and enc[0].subj == idt.subj
+
+
+class TestAutoConfig:
+    """F7 auto_config from <meta> (Config.pm:405-459)."""
+
+    def test_auto_config_enables_flags(self):
+        doc = """<html xmlns="http://www.w3.org/1999/xhtml"
+          xmlns:ex="http://example.com/ns#">
+         <head><meta
+          name="http://search.cpan.org/dist/RDF-RDFa-Parser/#auto_config"
+          content="xhtml_lang=1&amp;vocab_default=http%3A%2F%2Fv.example%2F" /></head>
+         <body about="http://example.com/s">
+          <span lang="de" property="ex:p" content="x"></span>
+          <span property="word" content="y"></span>
+         </body></html>"""
+        cfg = make_config("xhtml", "1.1", auto_config=True)
+        w = parse_rdfa(doc, "http://example.com/", cfg)
+        # xhtml_lang honoured via auto config
+        [t] = [t for t in w.triples if t.pred == EX + "p"]
+        assert t.lang == "de"
+        # vocab_default applied
+        assert count(w, "http://example.com/s", "http://v.example/word",
+                     "y") == 1
+
+    def test_auto_config_off_by_default(self):
+        doc = """<html xmlns="http://www.w3.org/1999/xhtml">
+         <head><meta
+          name="http://search.cpan.org/dist/RDF-RDFa-Parser/#auto_config"
+          content="vocab_default=http%3A%2F%2Fv.example%2F" /></head>
+         <body about="http://example.com/s">
+          <span property="word" content="y"></span>
+         </body></html>"""
+        w = parse_rdfa(doc, "http://example.com/")
+        # without the flag the vocab option is not applied -> the
+        # bare term doesn't expand, no triple
+        assert count(w, pred="http://v.example/word") == 0
