@@ -246,6 +246,14 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round("score", 4).alias("score"))
 
 
+def q_simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit signatures (rows-only driver check: the bit
+    math is Spark-built-in but not mirrored in SQL)."""
+    from rdfa_spark.pipeline.dedup import simhash64
+    return simhash64(_documents(spark, sf_dir), "doc_id", "text") \
+        .select("doc_id", "simhash")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: extract the KG from
     synthesized pages and run the opengraph query over it."""
@@ -274,6 +282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "revenue_by_nation": q_revenue_by_nation,
         "embedding_near_dup": q_embedding_near_dup,
+        "simhash_signature": q_simhash_signature,
     }
 
 
