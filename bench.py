@@ -102,8 +102,11 @@ def _executor_sim(exec_cores: int, replicate: int) -> dict:
     then four concurrent JVMs on disjoint core sets — each executor
     is its own JVM + python workers, exactly the multi-executor
     layout of a real cluster (spark-submit with 4 executors)."""
-    one = _run_worker(exec_cores, replicate,
-                      core_range=f"0-{exec_cores - 1}")
+    # sandwich the 1-executor measurement around the 4-executor one:
+    # the sandbox host's speed drifts over minutes, so a single
+    # before-only baseline would corrupt the ratio
+    one_a = _run_worker(exec_cores, replicate,
+                        core_range=f"0-{exec_cores - 1}")
     procs = []
     for i in range(4):
         lo, hi = i * exec_cores, (i + 1) * exec_cores - 1
@@ -114,15 +117,20 @@ def _executor_sim(exec_cores: int, replicate: int) -> dict:
             cwd=os.path.dirname(os.path.abspath(__file__))))
     four = [_parse_worker(p.communicate(timeout=1200)[0])
             for p in procs]
+    one_b = _run_worker(exec_cores, replicate,
+                        core_range=f"0-{exec_cores - 1}")
+    one_tps = (one_a["triples_per_sec"] + one_b["triples_per_sec"]) / 2
     tot = sum(x["triples_per_sec"] for x in four)
     return {
         "mode": f"executor_sim_1x{exec_cores}_vs_4x{exec_cores}",
         "exec_cores": exec_cores,
-        "triples_per_sec_1exec": one["triples_per_sec"],
+        "triples_per_sec_1exec": round(one_tps, 1),
+        "triples_per_sec_1exec_runs": [one_a["triples_per_sec"],
+                                       one_b["triples_per_sec"]],
         "triples_per_sec_4exec_each": [x["triples_per_sec"]
                                        for x in four],
         "triples_per_sec_4exec_total": round(tot, 1),
-        "efficiency": round(tot / (4 * one["triples_per_sec"]), 3),
+        "efficiency": round(tot / (4 * one_tps), 3),
     }
 
 
