@@ -38,7 +38,7 @@ from rdfa_spark.pipeline.dedup import (  # noqa: E402
 from rdfa_spark.pipeline.linking import (canonicalize,  # noqa: E402
                                          entity_mentions,
                                          lsh_candidate_pairs,
-                                         with_minhash, with_shingles)
+                                         minhash_signatures)
 
 SCHEMA_NS = "http://schema.org/"
 
@@ -159,9 +159,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = with_minhash(
-        with_shingles(_documents(spark, sf_dir), "text", 3),
-        "shingles", 32)
+    sig = minhash_signatures(_documents(spark, sf_dir), "doc_id",
+                             "text", n=3, num_hashes=32)
     return sig.select(
         "doc_id",
         F.md5(F.concat_ws("|", "minhash")).alias("signature"))

@@ -102,16 +102,80 @@ def with_minhash(df: DataFrame, shingle_col: str = "shingles",
     return staged.withColumn(out, mh).drop("_mh_vals")
 
 
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       n: int = 3, num_hashes: int = 32,
+                       impl: str = "arrow") -> DataFrame:
+    """(id, minhash array<long>) signatures.
+
+    Two implementations with bit-identical output:
+    * ``expr``  — pure Catalyst expressions (with_shingles +
+      with_minhash); Spark's higher-order functions run interpreted,
+      so this is the slow path;
+    * ``arrow`` — Arrow-batched numpy kernel (default): one md5 per
+      shingle, the 32-function universal-hash minima as one
+      (num_hashes × n_shingles) int64 matrix op per doc.
+    """
+    if impl == "expr":
+        sig = with_minhash(with_shingles(df, text_col, n),
+                           "shingles", num_hashes)
+        return sig.select(id_col, "minhash")
+
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (ArrayType, LongType, StructField,
+                                   StructType)
+
+    ws = re.compile(r"\s+")
+
+    params = minhash_params(num_hashes)
+    a_vec = np.array([a for a, _ in params], dtype=np.int64)
+    b_vec = np.array([b for _, b in params], dtype=np.int64)
+    p = MINHASH_PRIME
+    id_field = df.schema[id_col]
+    out_schema = StructType([
+        StructField(id_col, id_field.dataType, True),
+        StructField("minhash", ArrayType(LongType()), True),
+    ])
+
+    def batches(it):
+        for pdf in it:
+            ids, sigs = [], []
+            for rid, text in zip(pdf[id_col].values,
+                                 pdf[text_col].values):
+                # regex split with kept empty edge tokens — exact
+                # mirror of Spark split()/DuckDB string_split_regex
+                toks = ws.split((text or "").lower())
+                hi = max(len(toks) - n, 0)
+                shingles = {" ".join(toks[j:j + n])
+                            for j in range(hi + 1)}
+                vals = np.fromiter(
+                    (int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                     % p for s in shingles),
+                    dtype=np.int64, count=len(shingles))
+                if len(vals) == 0:
+                    sigs.append([])
+                else:
+                    mh = ((a_vec[:, None] * vals[None, :]
+                           + b_vec[:, None]) % p).min(axis=1)
+                    sigs.append(mh.tolist())
+                ids.append(rid)
+            yield pd.DataFrame({id_col: ids, "minhash": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(batches, out_schema)
+
+
 def lsh_candidate_pairs(df: DataFrame, id_col: str,
                         text_col: str, n: int = 3,
-                        num_hashes: int = 32, bands: int = 8,
-                        keep_cols: tuple = ()) -> DataFrame:
+                        num_hashes: int = 32,
+                        bands: int = 8) -> DataFrame:
     """MinHash-LSH near-duplicate candidates: shingle -> minhash ->
     band -> bucket equi-join.  rows/bands = num_hashes // bands
     signatures per band; a pair collides if any band matches."""
     rows_per_band = num_hashes // bands
-    sig = with_minhash(with_shingles(df, text_col, n), "shingles",
-                       num_hashes)
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
@@ -120,10 +184,8 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str,
                 "|", F.slice(F.col("minhash"),
                              b * rows_per_band + 1, rows_per_band)))
              .alias("band_hash")))
-    banded = (sig.select(id_col, *keep_cols,
-                         F.explode(band_arr).alias("band"))
-              .select(id_col, *keep_cols,
-                      "band.band_id", "band.band_hash"))
+    banded = (sig.select(id_col, F.explode(band_arr).alias("band"))
+              .select(id_col, "band.band_id", "band.band_hash"))
     # materialize signatures once: the self-join would otherwise
     # recompute the whole minhash pipeline on both sides (at cluster
     # scale this is a persisted signatures table)
