@@ -156,7 +156,9 @@ def main() -> None:
         for name in ["rdfa_triples", "rdfa_og_title",
                      "rdfa_pred_counts", "entity_canonical",
                      "cc_chain", "dedup_exact", "minhash_band_pairs",
-                     "language_id", "quality_score", "ann_topk"]:
+                     "language_id", "quality_score", "ann_topk",
+                     "event_sessions", "revenue_by_nation",
+                     "embedding_near_dup", "simhash_signature"]:
             t0 = time.time()
             queries[name](spark, SF_DIR).count()
             timings[name] = round(time.time() - t0, 3)

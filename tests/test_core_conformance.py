@@ -190,3 +190,62 @@ class TestTagSoupRobustness:
         w = parse_rdfa(doc, B)  # xml parse fails -> tag-soup
         assert count(w, "http://example.com/s", DCT + "title",
                      "T") == 1
+
+
+class TestSafeCurieEdgeCases:
+    def test_empty_safe_curie_ignored(self):
+        # about="[]" expands to nothing; subject falls through the
+        # remaining chain (here: resource)
+        doc = """<html xmlns="http://www.w3.org/1999/xhtml"
+          xmlns:ex="http://example.com/ns#">
+         <body>
+          <div about="[]" resource="http://example.com/r"
+               property="ex:p">v</div>
+         </body></html>"""
+        w = parse_rdfa(doc, B)
+        # 1.1 property_resources: property + resource -> IRI object,
+        # subject falls back through the chain
+        hits = [t for t in w.triples if t.pred == EX + "p"]
+        assert len(hits) == 1
+        assert hits[0].obj == "http://example.com/r"
+
+    def test_about_empty_string_is_base(self):
+        doc = """<html xmlns="http://www.w3.org/1999/xhtml"
+          xmlns:ex="http://example.com/ns#">
+         <body><div about="" property="ex:p" content="v"></div>
+         </body></html>"""
+        w = parse_rdfa(doc, B + "page")
+        assert count(w, B + "page", EX + "p", "v") == 1
+
+    def test_typeof_on_root_types_base(self):
+        doc = """<html xmlns="http://www.w3.org/1999/xhtml"
+          typeof="schema:WebPage"><body></body></html>"""
+        w = parse_rdfa(doc, B + "page")
+        assert count(w, B + "page", RDF + "type",
+                     "http://schema.org/WebPage") == 1
+
+    def test_xml_base_on_root(self):
+        doc = """<html xmlns="http://www.w3.org/1999/xhtml"
+          xmlns:ex="http://example.com/ns#"
+          xml:base="http://other.example/dir/">
+         <body><div about="rel" property="ex:p" content="v"></div>
+         </body></html>"""
+        cfg = make_config("xml", "1.1")  # xml host: xml_base=2
+        w = parse_rdfa(doc, B)
+        # xhtml host has xml_base=0 -> resolve against base
+        assert count(w, B + "rel", EX + "p", "v") == 1
+        w2 = parse_rdfa(doc, B, cfg)
+        assert count(w2, "http://other.example/dir/rel", EX + "p",
+                     "v") == 1
+
+    def test_datatype_overrides_lang(self):
+        doc = """<html xmlns="http://www.w3.org/1999/xhtml"
+          xmlns:ex="http://example.com/ns#"
+          xmlns:xsd="http://www.w3.org/2001/XMLSchema#" xml:lang="en">
+         <body about="http://example.com/s">
+          <span property="ex:p" datatype="xsd:string">v</span>
+         </body></html>"""
+        w = parse_rdfa(doc, B)
+        [t] = [t for t in w.triples if t.pred == EX + "p"]
+        assert t.datatype == "http://www.w3.org/2001/XMLSchema#string"
+        assert t.lang is None
