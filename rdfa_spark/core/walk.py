@@ -324,10 +324,43 @@ class Walker:
                                     else None))
         return self
 
+    # RDFa-relevant attribute names: an element carrying none of
+    # these (and none of the tag-level specials) contributes nothing
+    # and changes nothing in the evaluation context — its processing
+    # reduces to recursing with the inherited context (the reference
+    # reaches the same state via NEW_SUBJECT_INHERIT + skip_element).
+    _RELEVANT_ATTRS = frozenset((
+        "about", "src", "resource", "href", "typeof", "instanceof",
+        "rel", "rev", "property", "content", "datatype", "inlist",
+        "prefix", "vocab", "lang", "role", "cite", "longdesc",
+        "datetime", "value", "version", "graph",
+    ))
+
+    def _is_plain_element(self, el: Element) -> bool:
+        """True if the element can take the fast path (common case on
+        real web pages: class/style/id-only markup soup)."""
+        cfg = self.config
+        if cfg.ns is not None or cfg.graph:
+            return False
+        for k in el.attrs:
+            if k in self._RELEVANT_ATTRS or k.startswith("xml"):
+                return False    # covers xmlns*, xml:lang, xml:base
+        ln = el.localname
+        if ln in ("head", "body", "feed", "entry", "RDF", "time"):
+            return False
+        return True
+
     # ------------------------------------------------------------------
     def _consume_element(self, el: Element, ctx: _Ctx) -> bool:
         cfg = self.config
         self._cur_element = el
+
+        if el.parent is not None and self._is_plain_element(el):
+            flag = False
+            for kid in el.child_elements():
+                flag = self._consume_element(kid, ctx) or flag
+            return flag
+
         # hot path: RDFa attributes are unprefixed unless the host
         # sets a namespace (ODF); bind the lookup once per element
         if cfg.ns is None:
