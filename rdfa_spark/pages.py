@@ -67,23 +67,39 @@ def _render_html(doc_id: Column, title_e: Column, source_e: Column,
                  rel_target: Column) -> Column:
     tpl = doc_id % 3
 
+    # textless markup soup (nav/footer chrome): no text nodes, no
+    # RDFa attributes — makes the corpus Common-Crawl-shaped (most
+    # elements are irrelevant to extraction) without touching the
+    # text invariant or the triple oracle
+    soup = ('<div class="nav"><ul class="menu">'
+            + '<li class="mi"><a class="lnk"><span class="ic"></span>'
+              '</a></li>' * 8
+            + '</ul></div><div class="hero"><img class="b"/>'
+              '<div class="grid">'
+            + '<div class="cell"><span class="badge"></span></div>' * 6
+            + "</div></div>")
+    footer = ('<div class="footer"><ul class="cols">'
+              + '<li class="col"><span class="s"></span></li>' * 6
+              + "</ul></div>")
+
     body = F.concat(
-        F.lit('<body><div about="#main" typeof="schema:Article">'
+        F.lit(f'<body>{soup}'
+              '<div about="#main" typeof="schema:Article">'
               '<span property="dc:source">'), source_e,
         F.lit('</span><span about="#person" typeof="schema:Person" '
               'property="schema:name" content="'), entity_e,
         F.lit('">who</span><a rel="dc:relation" href="'), rel_target,
         F.lit('">rel</a><p property="dc:description">'), text_e,
-        F.lit("</p></div></body></html>"),
+        F.lit(f"</p></div>{footer}</body></html>"),
     )
     body_10 = F.concat(
-        F.lit('<body><div about="#main">'
+        F.lit(f'<body>{soup}<div about="#main">'
               '<span property="dc:source">'), source_e,
         F.lit('</span><span about="#person" typeof="schema:Person" '
               'property="schema:name" content="'), entity_e,
         F.lit('">who</span><a rel="dc:relation" href="'), rel_target,
         F.lit('">rel</a><p property="dc:description">'), text_e,
-        F.lit("</p></div></body></html>"),
+        F.lit(f"</p></div>{footer}</body></html>"),
     )
     # template 1 carries a deliberate non-expandable @property token so
     # the processor-graph/errors pipeline has deterministic work
