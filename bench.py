@@ -159,7 +159,9 @@ def main() -> None:
     timings["extract_triples"] = full["sec"]
 
     # ---- N -> 4N executor scaling on the SAME input (north_rule) ---
-    scaling = _executor_sim(max(CPUS // 4, 1), max(REPLICATE // 2, 4))
+    # shorter windows = less host-speed drift between the 1-exec
+    # baseline and the 4-exec sample
+    scaling = _executor_sim(max(CPUS // 4, 1), max(REPLICATE // 4, 4))
 
     # ---- operator queries at sf dir --------------------------------
     spark = get_spark("bench_queries", cpus=CPUS,
