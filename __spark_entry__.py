@@ -42,6 +42,32 @@ from rdfa_spark.pipeline.linking import (canonicalize,  # noqa: E402
 
 SCHEMA_NS = "http://schema.org/"
 
+_SHIPPED: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship rdfa_spark to the executors (addPyFile) so the extraction
+    UDFs import it regardless of the driver's cwd/sys.path — the
+    driver may build the SparkSession anywhere."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    from scripts.make_pyfiles import main as make_zip
+    try:
+        spark.sparkContext.addPyFile(make_zip())
+    except Exception:
+        pass  # already added in this context (e.g. spark-submit)
+    _SHIPPED.add(key)
+
+
+def _wrap(fn):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        return fn(spark, sf_dir)
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single small parquet file = one input split; compute-heavy
@@ -256,10 +282,15 @@ def q_simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: extract the KG from
     synthesized pages and run the opengraph query over it."""
+    _ensure_shipped(spark)
     return q_rdfa_og_title(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: _wrap(v) for k, v in _raw_queries().items()}
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rdfa_triples": q_rdfa_triples,
         "rdfa_og_title": q_rdfa_og_title,

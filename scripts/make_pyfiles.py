@@ -8,7 +8,7 @@ import zipfile
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> str:
+def main(verbose: bool = False) -> str:
     out_dir = os.path.join(HERE, "dist")
     os.makedirs(out_dir, exist_ok=True)
     out = os.path.join(out_dir, "rdfa_spark.zip")
@@ -20,9 +20,10 @@ def main() -> str:
                 if f.endswith(".py"):
                     p = os.path.join(root, f)
                     z.write(p, os.path.relpath(p, HERE))
-    print(out)
+    if verbose:
+        print(out)
     return out
 
 
 if __name__ == "__main__":
-    main()
+    main(verbose=True)
