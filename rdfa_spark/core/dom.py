@@ -266,16 +266,24 @@ source track wbr""".split())
 _CLOSE_P = frozenset("""address article aside blockquote div dl fieldset
 figcaption figure footer form h1 h2 h3 h4 h5 h6 header hr main nav ol p
 pre section table ul""".split())
-_SELF_CLOSING_PEERS = {
-    "li": {"li"},
-    "option": {"option"},
-    "tr": {"tr"},
-    "td": {"td", "th"},
-    "th": {"td", "th"},
-    "dd": {"dd", "dt"},
-    "dt": {"dd", "dt"},
-    "thead": {"tbody", "tfoot"},
-    "tbody": {"tbody", "thead"},
+# On <tag>, close any open element in `closes` below the nearest
+# `scope` boundary (HTML5 implied end tags: a new <li> closes an open
+# <li> even across inline descendants, but not across a nested list).
+_IMPLIED_END = {
+    "li": ({"li"}, {"ul", "ol", "body"}),
+    "option": ({"option"}, {"select", "body"}),
+    "tr": ({"tr", "td", "th"}, {"table", "thead", "tbody", "tfoot",
+                                "body"}),
+    "td": ({"td", "th"}, {"tr", "table", "body"}),
+    "th": ({"td", "th"}, {"tr", "table", "body"}),
+    "dd": ({"dd", "dt"}, {"dl", "body"}),
+    "dt": ({"dd", "dt"}, {"dl", "body"}),
+    "thead": ({"thead", "tbody", "tfoot", "tr", "td", "th"},
+              {"table", "body"}),
+    "tbody": ({"thead", "tbody", "tfoot", "tr", "td", "th"},
+              {"table", "body"}),
+    "tfoot": ({"thead", "tbody", "tfoot", "tr", "td", "th"},
+              {"table", "body"}),
 }
 
 
@@ -308,9 +316,16 @@ class _SoupBuilder(HTMLParser):
                 if self.stack[i].tag not in ("a", "span", "b", "i", "em",
                                              "strong", "small", "u", "s"):
                     break
-        peers = _SELF_CLOSING_PEERS.get(tag)
-        if peers and self.stack and self.stack[-1].tag in peers:
-            self.stack.pop()
+        implied = _IMPLIED_END.get(tag)
+        if implied:
+            closes, scope = implied
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t in scope:
+                    break
+                if t in closes:
+                    del self.stack[i:]
+                    break
         parent = self.stack[-1]
         el = Element(tag, dict(attrs), parent)
         parent.children.append(el)

@@ -249,3 +249,39 @@ class TestSafeCurieEdgeCases:
         [t] = [t for t in w.triples if t.pred == EX + "p"]
         assert t.datatype == "http://www.w3.org/2001/XMLSchema#string"
         assert t.lang is None
+
+
+class TestTagSoupImpliedEndTags:
+    def test_li_closes_across_inline(self):
+        doc = ("<html><body about='http://e/s'><ul>"
+               "<li><span property='dc:title'>A"
+               "<li><span property='dc:description'>B"
+               "</ul></body></html>")
+        w = parse_rdfa(doc.encode(), B, make_config("html5", "1.1"))
+        # the second li must NOT be nested inside the first li's span
+        assert count(w, "http://e/s", DCT + "title", "A") == 1
+        assert count(w, "http://e/s", DCT + "description", "B") == 1
+
+    def test_li_does_not_close_across_nested_list(self):
+        from rdfa_spark.core.dom import parse_html
+        doc = "<html><body><ul><li>a<ul><li>x<li>y</ul><li>b</ul></body></html>"
+        d = parse_html(doc)
+        body = d.root.child_elements()[0]
+        [ul] = body.child_elements()
+        outer_lis = [e for e in ul.child_elements() if e.tag == "li"]
+        assert len(outer_lis) == 2  # 'a' (with nested ul) and 'b'
+        inner_uls = [e for e in outer_lis[0].child_elements()
+                     if e.tag == "ul"]
+        assert len(inner_uls) == 1
+        assert len(inner_uls[0].child_elements()) == 2  # x, y
+
+    def test_table_rows_and_cells(self):
+        from rdfa_spark.core.dom import parse_html
+        doc = ("<html><body><table><tr><td>1<td>2<tr><td>3"
+               "</table></body></html>")
+        d = parse_html(doc)
+        table = d.root.child_elements()[0].child_elements()[0]
+        trs = [e for e in table.iter_elements() if e.tag == "tr"]
+        assert len(trs) == 2
+        assert [len([c for c in tr.child_elements() if c.tag == "td"])
+                for tr in trs] == [2, 1]
