@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "48"))
+REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "24"))
 
 
 def _extraction_throughput(cpus: int, replicate: int) -> dict:
@@ -130,15 +130,15 @@ def _executor_sim(exec_cores: int, replicate: int) -> dict:
             _parse_worker(p.communicate(timeout=1200)[0])
             ["triples_per_sec"] for p in procs)
 
-    # interleave 1-exec and 4-exec runs (1,4,1,4,1): the sandbox
-    # host's speed drifts on a minutes scale, so each 4-exec sample is
-    # normalized by its adjacent 1-exec samples; report the best
-    # window (peak capacity under noisy-neighbor conditions) plus all
-    # samples for transparency.
+    # sandwich the 4-exec sample between 1-exec samples: the sandbox
+    # host's speed drifts on a minutes scale, so the 4-exec sample is
+    # normalized by its adjacent 1-exec samples; all samples reported
+    # for transparency.  (One window keeps total bench wall-time
+    # bounded even on a throttled host.)
     ones = [one()]
     fours = []
     effs = []
-    for _ in range(2):
+    for _ in range(1):
         fours.append(four())
         ones.append(one())
         denom = (ones[-2] + ones[-1]) / 2
@@ -152,7 +152,9 @@ def _executor_sim(exec_cores: int, replicate: int) -> dict:
         "triples_per_sec_1exec_runs": [round(x, 1) for x in ones],
         "triples_per_sec_4exec_total": round(fours[best], 1),
         "triples_per_sec_4exec_runs": [round(x, 1) for x in fours],
-        "efficiency": round(effs[best], 3),
+        # clamp: >1.0 just means the 1-exec baseline hit a slow host
+        # window; raw values stay visible in efficiency_runs
+        "efficiency": round(min(effs[best], 1.0), 3),
         "efficiency_runs": [round(e, 3) for e in effs],
     }
 
@@ -174,7 +176,7 @@ def main() -> None:
     # the regime that models adding executors on a real cluster,
     # where each node brings its own memory subsystem.  Shorter
     # windows = less host-speed drift between samples.
-    scaling = _executor_sim(max(CPUS // 8, 1), max(REPLICATE // 4, 4))
+    scaling = _executor_sim(max(CPUS // 8, 1), max(REPLICATE // 3, 4))
 
     # ---- operator queries at sf dir --------------------------------
     spark = get_spark("bench_queries", cpus=CPUS,
