@@ -112,6 +112,58 @@ def lsh_cosine_topk(items: DataFrame, queries: DataFrame, k: int = 10,
             .select(query_id_col, "rank", "neighbor_id", "score"))
 
 
+def ivf_cosine_topk(items: DataFrame, queries: DataFrame, k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    query_id_col: str = "query_id",
+                    n_centroids: int = 16, nprobe: int = 4) -> DataFrame:
+    """IVF-style approximate top-k: deterministic centroids (the
+    first n_centroids item vectors by id — no RNG, no Lloyd float
+    nondeterminism), inverted cells via broadcast argmax assignment,
+    queries probe their nprobe nearest cells, exact cosine rerank on
+    the candidates.
+
+    At scale the items×centroids assignment is a broadcast
+    nested-loop over a tiny centroid table, the cell table is
+    materialized once, and each query touches ~nprobe/n_centroids of
+    the corpus instead of all of it.
+    """
+    it = items.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(vec_col).alias("_ivec"))
+    w_seed = Window.orderBy(F.col("neighbor_id").asc())
+    centroids = F.broadcast(
+        it.withColumn("_rn", F.row_number().over(w_seed))
+          .filter(F.col("_rn") <= n_centroids)
+          .select(F.col("_rn").alias("cell"),
+                  F.col("_ivec").alias("_cvec")))
+
+    def assign(df, vec, keep, n_best):
+        scored = df.crossJoin(centroids).select(
+            *keep, "cell", cosine(F.col(vec), F.col("_cvec"))
+            .alias("_cs"))
+        w = (Window.partitionBy(*keep)
+             .orderBy(F.col("_cs").desc(), F.col("cell").asc()))
+        return (scored.withColumn("_cr", F.row_number().over(w))
+                .filter(F.col("_cr") <= n_best)
+                .drop("_cs", "_cr"))
+
+    cells = assign(it, "_ivec", ["neighbor_id", "_ivec"], 1)
+    q = queries.select(F.col(query_id_col),
+                       _as_double(vec_col).alias("_qvec"))
+    probes = assign(q, "_qvec", [query_id_col, "_qvec"], nprobe)
+
+    cand = (cells.join(probes, "cell")
+            .filter(F.col("neighbor_id") != F.col(query_id_col))
+            .select(query_id_col, "neighbor_id",
+                    cosine(F.col("_ivec"), F.col("_qvec"))
+                    .alias("score"))
+            .dropDuplicates([query_id_col, "neighbor_id"]))
+    w = (Window.partitionBy(query_id_col)
+         .orderBy(F.col("score").desc(), F.col("neighbor_id").asc()))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, "rank", "neighbor_id", "score"))
+
+
 def embedding_near_dup_pairs(items: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",

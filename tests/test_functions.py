@@ -105,3 +105,26 @@ def test_multimodal_real_decoder_stubbed(spark):
     df = spark.createDataFrame(rows, ASSET_SCHEMA)
     with pytest.raises(Exception, match="NotImplementedError|real"):
         extract_features(df, decoder="real").collect()
+
+
+def test_ivf_ann_recall_and_determinism(spark, emb):
+    from rdfa_spark.functions.similarity import ivf_cosine_topk
+    q = emb.filter(F.col("vec_id") % 100 == 0) \
+           .select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, q, k=5).collect()}
+    a1 = ivf_cosine_topk(emb, q, k=5, n_centroids=8, nprobe=4)
+    r1 = sorted(map(tuple, a1.collect()))
+    r2 = sorted(map(tuple, ivf_cosine_topk(
+        emb, q, k=5, n_centroids=8, nprobe=4).collect()))
+    assert r1 == r2  # deterministic (no RNG, no Lloyd)
+    approx = {(r[0], r[2]) for r in r1}
+    # probing half the cells: recall@5 should be substantial
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, recall
+    # every approx hit's score equals the exact score for that pair
+    exact_scores = {(r.query_id, r.neighbor_id): r.score
+                    for r in cosine_topk(emb, q, k=500).collect()}
+    for qid, rank, nid, score in r1:
+        if (qid, nid) in exact_scores:
+            assert abs(exact_scores[(qid, nid)] - score) < 1e-12
