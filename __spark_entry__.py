@@ -266,17 +266,33 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = emb.select("vec_id", "embedding").unionByName(
         emb.select((F.col("vec_id") + 10000).alias("vec_id"),
                    "embedding"))
-    pairs = embedding_near_dup_pairs(both, threshold=0.999, n_planes=4)
+    pairs = embedding_near_dup_pairs(both, threshold=0.999,
+                                     bands=2, planes_per_band=4)
     return pairs.select("id_a", "id_b",
                         F.round("score", 4).alias("score"))
 
 
 def q_simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 64-bit signatures (rows-only driver check: the bit
-    math is Spark-built-in but not mirrored in SQL)."""
+    """SimHash 64-bit signatures (md5-derived bit votes; mirrored
+    bit-for-bit by oracle.SIMHASH_SIGNATURE_SQL)."""
     from rdfa_spark.pipeline.dedup import simhash64
     return simhash64(_documents(spark, sf_dir), "doc_id", "text") \
         .select("doc_id", "simhash")
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN — the scale path (broadcast centroid assignment +
+    nprobe rerank); deterministic by construction (first-N centroids,
+    no RNG), so fully SQL-mirrorable."""
+    from rdfa_spark.functions.similarity import ivf_cosine_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0) \
+                 .select(F.col("vec_id").alias("query_id"), "embedding")
+    top = ivf_cosine_topk(emb, queries, k=10, n_centroids=16, nprobe=4)
+    return top.select("query_id",
+                      F.col("rank").cast("bigint").alias("rank"),
+                      "neighbor_id",
+                      F.round("score", 4).alias("score"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -309,6 +325,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "minhash_band_pairs": q_minhash_band_pairs,
         "ann_topk": q_ann_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "event_sessions": q_event_sessions,
         "revenue_by_nation": q_revenue_by_nation,
         "embedding_near_dup": q_embedding_near_dup,
@@ -335,6 +352,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signature": oracle.MINHASH_SIGNATURE_SQL,
         "minhash_band_pairs": oracle.MINHASH_BAND_PAIRS_SQL,
         "ann_topk": oracle.ANN_TOPK_SQL,
+        "ann_ivf_topk": oracle.ANN_IVF_TOPK_SQL,
+        "simhash_signature": oracle.SIMHASH_SIGNATURE_SQL,
         "event_sessions": oracle.EVENT_SESSIONS_SQL,
         "revenue_by_nation": oracle.REVENUE_BY_NATION_SQL,
         "embedding_near_dup": oracle.EMBEDDING_NEAR_DUP_SQL,

@@ -20,6 +20,7 @@ Design notes
 
 from __future__ import annotations
 
+import html.entities
 import re
 import xml.parsers.expat
 from html.parser import HTMLParser
@@ -153,10 +154,14 @@ class Element:
 
 
 class Document:
-    __slots__ = ("root",)
+    __slots__ = ("root", "parse_warnings")
 
-    def __init__(self, root: Element):
+    def __init__(self, root: Element,
+                 parse_warnings: list[str] | None = None):
         self.root = root
+        # Non-fatal parse recoveries (e.g. unknown entity dropped),
+        # surfaced into the processor graph by the extraction layer.
+        self.parse_warnings: list[str] = parse_warnings or []
 
     def iter_elements(self):
         if self.root is not None:
@@ -172,20 +177,47 @@ class Document:
 # uses an XML catalogue for the same reason (Parser.pm:108-119).
 _DOCTYPE_RE = re.compile(rb"<!DOCTYPE[^\[>]*(\[[^\]]*\])?[^>]*>", re.S)
 
-_XHTML_ENTITIES = {
-    "nbsp": " ", "copy": "©", "reg": "®", "trade": "™",
-    "mdash": "—", "ndash": "–", "hellip": "…",
-    "ldquo": "“", "rdquo": "”", "lsquo": "‘",
-    "rsquo": "’", "laquo": "«", "raquo": "»",
-    "deg": "°", "middot": "·", "sect": "§",
-    "para": "¶", "euro": "€", "pound": "£",
-    "yen": "¥", "cent": "¢", "times": "×",
-    "divide": "÷", "plusmn": "±", "frac12": "½",
-    "iexcl": "¡", "iquest": "¿", "szlig": "ß",
-    "agrave": "à", "aacute": "á", "eacute": "é",
-    "egrave": "è", "uuml": "ü", "ouml": "ö",
-    "auml": "ä", "ccedil": "ç", "ntilde": "ñ",
+# The full XHTML 1.0 named-entity set == the HTML4 set shipped in the
+# stdlib (252 names).  libxml2 resolves these through its XML
+# catalogue (Parser.pm:108-119); we pre-substitute them as numeric
+# character references before expat sees the bytes, so entity-bearing
+# but otherwise well-formed XHTML stays on the XML path (expat has no
+# DTD and would abort on the first named entity otherwise).
+# The five XML predefined entities must be left for expat itself:
+# rewriting &lt; to '<' would corrupt markup.
+_XML_PREDEFINED = frozenset(("amp", "lt", "gt", "quot", "apos"))
+_ENTITY_REF_RE = re.compile(rb"&([a-zA-Z][a-zA-Z0-9]{0,31});")
+# Regions where entity syntax is literal text and must NOT be
+# rewritten: CDATA sections and comments.
+_PROTECTED_RE = re.compile(rb"<!\[CDATA\[.*?\]\]>|<!--.*?-->", re.S)
+
+_NAME2CHARREF = {
+    name.encode("ascii"): b"&#%d;" % cp
+    for name, cp in html.entities.name2codepoint.items()
+    if name not in _XML_PREDEFINED
 }
+
+
+def _entity_repl(m):
+    ref = _NAME2CHARREF.get(m.group(1))
+    # Unknown names are left verbatim; expat reports them through the
+    # SkippedEntityHandler (UseForeignDTD below) like libxml recover.
+    return ref if ref is not None else m.group(0)
+
+
+def _substitute_entities(markup: bytes) -> bytes:
+    """Rewrite known XHTML named entities to numeric charrefs,
+    skipping CDATA sections and comments."""
+    if b"&" not in markup:
+        return markup
+    out = []
+    pos = 0
+    for m in _PROTECTED_RE.finditer(markup):
+        out.append(_ENTITY_REF_RE.sub(_entity_repl, markup[pos:m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(_ENTITY_REF_RE.sub(_entity_repl, markup[pos:]))
+    return b"".join(out)
 
 
 class _XmlBuilder:
@@ -231,8 +263,11 @@ def parse_xml(markup: bytes | str) -> Document:
     """
     if isinstance(markup, str):
         markup = markup.encode("utf-8")
-    # Replace DOCTYPE (we resolve common XHTML entities ourselves).
+    # Replace DOCTYPE (we resolve XHTML entities ourselves, below).
     markup = _DOCTYPE_RE.sub(b"", markup)
+    # Resolve the full XHTML named-entity set up front (&nbsp; ->
+    # U+00A0 etc.), keeping entity-bearing XHTML on the XML path.
+    markup = _substitute_entities(markup)
 
     b = _XmlBuilder()
     p = xml.parsers.expat.ParserCreate()  # no namespace separator
@@ -242,16 +277,22 @@ def parse_xml(markup: bytes | str) -> Document:
     p.CharacterDataHandler = b.chars
     p.CommentHandler = b.comment
     p.ProcessingInstructionHandler = b.pi
+    # Pretend an (unread) external DTD exists so a genuinely unknown
+    # entity is a recoverable skip, not a fatal error — the libxml2
+    # "recover" analogue: the entity contributes no text and we record
+    # a warning for the processor graph.
+    p.UseForeignDTD(True)
+    p.SetParamEntityParsing(xml.parsers.expat.XML_PARAM_ENTITY_PARSING_NEVER)
+    warnings: list[str] = []
 
     def skipped(name, is_param):
-        # Undefined entity (e.g. &nbsp; with DOCTYPE stripped)
-        b.chars(_XHTML_ENTITIES.get(name, ""))
+        warnings.append(f"unknown entity &{name}; dropped")
 
     p.SkippedEntityHandler = skipped
     p.Parse(markup, True)
     if b.root is None:
         raise xml.parsers.expat.ExpatError("no root element")
-    return Document(b.root)
+    return Document(b.root, warnings)
 
 
 # ---------------------------------------------------------------------------

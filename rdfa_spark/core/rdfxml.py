@@ -104,11 +104,15 @@ class _RdfXml:
                 ns = el.nsmap().get(pfx)
                 if ns is None:
                     continue
-                if ns == RDF_NS and local in _SYNTAX_ATTRS:
+                if ns == RDF_NS:
+                    # rdf:type as a property attribute is a resource
+                    # triple (RDF/XML §2.13), not a literal.
                     if local == "type":
                         self.out.append(
                             RTriple(subj, RDF_TYPE, resolve(val, base)))
-                    continue
+                        continue
+                    if local in _SYNTAX_ATTRS:
+                        continue
                 self.out.append(RTriple(subj, ns + local, val,
                                         is_literal=True, lang=lang))
 

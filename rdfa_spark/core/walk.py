@@ -295,6 +295,10 @@ class Walker:
     # ------------------------------------------------------------------
     def consume(self):
         cfg = self.config
+        # Surface non-fatal DOM-parse recoveries (unknown entities
+        # dropped in libxml-recover style) in the processor graph.
+        for w in getattr(self.doc, "parse_warnings", ()):
+            self.log_error(ERR_WARNING, "entity-unknown", w)
         init_uris, init_terms = initial_context(cfg.initial_context)
         um = Mappings(insensitive=dict(init_uris),
                       vocab=cfg.vocab_default,
@@ -355,7 +359,15 @@ class Walker:
         cfg = self.config
         self._cur_element = el
 
-        if el.parent is not None and self._is_plain_element(el):
+        # Fast path is only sound when the slow path's list-mapping
+        # reset (Parser.pm:1517-1526) would NOT fire: a skip element
+        # inherits new_subject = parent_object, so the reset fires
+        # exactly when parent_object is set and differs from
+        # parent_subject — take the slow path there so @inlist
+        # descendants attach their lists to the right owner.
+        if el.parent is not None and self._is_plain_element(el) \
+                and (ctx.parent_object is None
+                     or ctx.parent_object == ctx.parent_subject):
             flag = False
             for kid in el.child_elements():
                 flag = self._consume_element(kid, ctx) or flag

@@ -57,6 +57,31 @@ TEXT_SCHEMA = StructType([
     StructField("n_triples", IntegerType(), True),
 ])
 
+# Single-pass multi-output layout: one parse per page emits triple
+# rows (kind='t'), processor-graph error rows (kind='e') and one text/
+# lineage row (kind='x') into a sparse union schema.  Null-heavy
+# columns are nearly free in Arrow/parquet (validity bitmaps), and one
+# parse replaces the three independent passes a pipeline wanting
+# triples+errors+text would otherwise pay (the parse dominates).
+EXTRACT_ALL_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("kind", StringType(), False),
+    StructField("subj", StringType(), True),
+    StructField("pred", StringType(), True),
+    StructField("obj", StringType(), True),
+    StructField("obj_is_literal", BooleanType(), True),
+    StructField("obj_datatype", StringType(), True),
+    StructField("obj_lang", StringType(), True),
+    StructField("graph", StringType(), True),
+    StructField("emit_seq", LongType(), True),
+    StructField("level", StringType(), True),
+    StructField("code", StringType(), True),
+    StructField("message", StringType(), True),
+    StructField("node_path", StringType(), True),
+    StructField("text", StringType(), True),
+    StructField("n_triples", IntegerType(), True),
+])
+
 
 def detect_config(html: bytes) -> Config:
     """Host-language dispatch for pre-crawled pages.

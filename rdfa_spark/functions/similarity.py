@@ -70,16 +70,18 @@ def _plane_sign(plane: int, dim: Column) -> Column:
     return F.when(bit == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
 
 
-def lsh_signature(vec: Column, n_planes: int = 12) -> Column:
+def lsh_signature(vec: Column, n_planes: int = 12,
+                  plane_offset: int = 0) -> Column:
     """n-bit bucket signature: sign of <v, r_p> per plane, as a bit
-    string."""
+    string.  ``plane_offset`` selects an independent plane family so
+    multi-band constructions can derive per-band signatures."""
     dims = F.transform(vec, lambda v, i: F.struct(
         v.alias("v"), i.alias("i")))
     bits = [
         F.when(
             F.aggregate(dims, F.lit(0.0),
                         lambda acc, s: acc + s["v"]
-                        * _plane_sign(p, s["i"])) >= 0,
+                        * _plane_sign(plane_offset + p, s["i"])) >= 0,
             F.lit("1")).otherwise(F.lit("0"))
         for p in range(n_planes)
     ]
@@ -167,15 +169,54 @@ def ivf_cosine_topk(items: DataFrame, queries: DataFrame, k: int = 10,
 def embedding_near_dup_pairs(items: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
-                             n_planes: int = 8) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, LSH-bucketed self-join
-    (never all-pairs at scale)."""
-    it = items.select(F.col(id_col), _as_double(vec_col).alias("_v")) \
-              .withColumn("sig", lsh_signature(F.col("_v"), n_planes))
-    a, b = it.alias("a"), it.alias("b")
-    return (a.join(b, "sig")
+                             bands: int = 4,
+                             planes_per_band: int = 8,
+                             max_bucket: int | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via multi-band
+    hyperplane-LSH (never all-pairs at scale).
+
+    OR-construction over ``bands`` independent plane families, AND
+    within a band (all ``planes_per_band`` signs must match): a pair
+    is a candidate if it collides in ANY band.  Bucket count is
+    bands × 2^planes_per_band and expected bucket size N /
+    2^planes_per_band — raise ``planes_per_band`` as the corpus grows
+    (each +1 halves bucket size at a small recall cost that the extra
+    bands win back), instead of the single fixed-signature variant
+    whose buckets grow linearly with N.
+
+    ``max_bucket`` drops buckets with more members than the cap
+    (mass-duplicated boilerplate clusters; exact dedup handles those
+    far cheaper than pairwise scoring, which would emit ~size²/2
+    pairs per bucket).
+    """
+    it = items.select(F.col(id_col), _as_double(vec_col).alias("_v"))
+    band_arr = F.array(*[
+        F.struct(F.lit(bnd).alias("band_id"),
+                 lsh_signature(F.col("_v"), planes_per_band,
+                               plane_offset=bnd * planes_per_band)
+                 .alias("sig"))
+        for bnd in range(bands)])
+    banded = (it.select(id_col, "_v", F.explode(band_arr).alias("b"))
+              .select(id_col, "_v", "b.band_id", "b.sig"))
+    if max_bucket is not None:
+        sizes = banded.groupBy("band_id", "sig").agg(
+            F.count("*").alias("_bn"))
+        banded = banded.join(
+            sizes.filter(F.col("_bn") <= max_bucket)
+                 .select("band_id", "sig"),
+            ["band_id", "sig"])
+    # materialize signatures once; the self-join would recompute the
+    # plane arithmetic on both sides otherwise
+    banded = banded.localCheckpoint(eager=False)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, ["band_id", "sig"])
             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"),
-                    cosine(F.col("a._v"), F.col("b._v")).alias("score"))
+                    F.col("a._v").alias("_va"),
+                    F.col("b._v").alias("_vb"))
+            .dropDuplicates(["id_a", "id_b"]))
+    return (cand.select("id_a", "id_b",
+                        cosine(F.col("_va"), F.col("_vb"))
+                        .alias("score"))
             .filter(F.col("score") >= threshold))

@@ -328,6 +328,95 @@ SELECT vec_id AS id_a,
 FROM embeddings
 """
 
+# SimHash 64-bit signatures: per-token md5-derived ±1 bit votes,
+# majority per bit — byte-identical mirror of
+# rdfa_spark.pipeline.dedup.simhash64 (bit i<32 comes from the first
+# 8 md5 hex digits, bit i>=32 from digits 9-16; '1' iff vote sum > 0).
+SIMHASH_SIGNATURE_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split_regex(lower(text), '\\s+')))
+           AS t
+  FROM documents
+), bits AS (
+  SELECT doc_id, i.i AS pos,
+         CASE WHEN i.i < 32
+           THEN (('0x' || substr(md5(t), 1, 8))::BIGINT
+                 >> (31 - i.i)) & 1
+           ELSE (('0x' || substr(md5(t), 9, 8))::BIGINT
+                 >> (63 - i.i)) & 1
+         END AS bit
+  FROM tok, (SELECT unnest(range(0, 64)) AS i) i
+), votes AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
+  FROM bits GROUP BY doc_id, pos
+)
+SELECT doc_id,
+       string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, ''
+                  ORDER BY pos) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+def _cos(a: str, b: str) -> str:
+    """DuckDB cosine between two DOUBLE[] columns with the same
+    left-to-right fold Spark's aggregate() uses (bit-identical)."""
+    def _sum(expr: str) -> str:
+        return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"{expr}), (x, y) -> x + y)")
+    dot = _sum(f"list_transform(list_zip({a}, {b}), p -> p[1] * p[2])")
+    na = _sum(f"list_transform({a}, v -> v * v)")
+    nb = _sum(f"list_transform({b}, v -> v * v)")
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+# IVF ANN: deterministic centroids (first 16 vectors by id), argmax
+# cell assignment, nprobe=4 query probing, exact rerank — mirror of
+# rdfa_spark.functions.similarity.ivf_cosine_topk(n_centroids=16,
+# nprobe=4, k=10).
+ANN_IVF_TOPK_SQL = f"""
+WITH it AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS iv
+  FROM embeddings
+), cent AS (
+  SELECT cell, cv FROM (
+    SELECT row_number() OVER (ORDER BY neighbor_id ASC) AS cell,
+           iv AS cv
+    FROM it) WHERE cell <= 16
+), cells AS (
+  SELECT neighbor_id, iv, cell FROM (
+    SELECT neighbor_id, iv, cell,
+           row_number() OVER (PARTITION BY neighbor_id
+                              ORDER BY {_cos('iv', 'cv')} DESC,
+                                       cell ASC) AS cr
+    FROM it, cent) WHERE cr = 1
+), q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 50 = 0
+), probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT query_id, qv, cell,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {_cos('qv', 'cv')} DESC,
+                                       cell ASC) AS cr
+    FROM q, cent) WHERE cr <= 4
+), cand AS (
+  SELECT query_id, neighbor_id, {_cos('iv', 'qv')} AS score
+  FROM cells JOIN probes USING (cell)
+  WHERE neighbor_id <> query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC)
+           AS rank
+  FROM cand
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       round(score, 4) AS score
+FROM ranked WHERE rank <= 10
+"""
+
 ANN_TOPK_SQL = """
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

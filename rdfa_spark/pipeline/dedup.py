@@ -97,7 +97,9 @@ def simhash64(df: DataFrame, id_col: str, text_col: str,
                           .cast("long")), 32, "0")
         lo = F.lpad(F.bin(F.conv(F.substring(h, 9, 8), 16, 10)
                           .cast("long")), 32, "0")
-        chars = F.split(F.concat(hi, lo), "(?!^)")
+        # split with a lookahead keeps a trailing "" (limit -1);
+        # slice to exactly the 64 bit characters
+        chars = F.slice(F.split(F.concat(hi, lo), "(?!^)"), 1, 64)
         return F.transform(chars, lambda c: F.when(c == "1", 1)
                            .otherwise(-1))
 

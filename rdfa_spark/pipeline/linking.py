@@ -29,17 +29,54 @@ def entity_mentions(triples: DataFrame,
                      .alias("entity_key")))
 
 
-def exact_candidate_pairs(mentions: DataFrame) -> DataFrame:
+def exact_candidate_pairs(mentions: DataFrame,
+                          max_block: int | None = 10_000) -> DataFrame:
     """Blocking on the normalized key: distinct label pairs that share
     a key (self-join; the small side of each block stays in-block so
-    the join never fans out beyond block sizes)."""
-    labels = mentions.select("entity_key", "label").distinct()
+    the join never fans out beyond block sizes).
+
+    Skew guards (both required at crawl scale):
+    * the normalized key maps every CJK/Cyrillic/punctuation-only
+      label to ``''`` — those labels would all share ONE block and the
+      self-join would go quadratic on a single hot key, so empty keys
+      are dropped here (route such labels through the minhash-LSH
+      path, which keys on content shingles instead);
+    * ``max_block`` caps the number of distinct labels per block; a
+      block larger than the cap contributes max_block² pairs at most.
+      Oversized blocks (mass-duplicated boilerplate labels) likewise
+      belong on the minhash path — use ``oversized_blocks`` to find
+      them.  ``max_block=None`` disables the cap.
+    """
+    labels = (mentions.select("entity_key", "label")
+              .filter(F.col("entity_key").isNotNull()
+                      & (F.col("entity_key") != ""))
+              .distinct())
+    if max_block is not None:
+        sizes = labels.groupBy("entity_key").agg(
+            F.count("*").alias("_block_n"))
+        labels = (labels.join(
+            sizes.filter(F.col("_block_n") <= max_block)
+                 .select("entity_key"),
+            "entity_key"))
     a, b = labels.alias("a"), labels.alias("b")
     return (a.join(b, "entity_key")
             .filter(F.col("a.label") < F.col("b.label"))
             .select("entity_key",
                     F.col("a.label").alias("label_a"),
                     F.col("b.label").alias("label_b")))
+
+
+def oversized_blocks(mentions: DataFrame,
+                     max_block: int = 10_000) -> DataFrame:
+    """Blocks excluded by ``exact_candidate_pairs``'s cap (plus the
+    empty-key block): (entity_key, n_labels).  Feed these mentions to
+    ``lsh_candidate_pairs`` instead."""
+    labels = mentions.select("entity_key", "label").distinct()
+    return (labels.groupBy("entity_key")
+            .agg(F.count("*").alias("n_labels"))
+            .filter((F.col("n_labels") > max_block)
+                    | (F.col("entity_key") == "")
+                    | F.col("entity_key").isNull()))
 
 
 # ---------------------------------------------------------------------------

@@ -11,7 +11,8 @@ Iceberg catalog; swap the writer when a catalog is configured.
 Resume protocol (idempotent because extraction is deterministic
 per url — rdfa_spark/extract.py):
 * a ``_processed_urls`` ledger table records (url, n_triples, batch)
-  per completed batch;
+  per completed batch, plus one NULL-url marker row per batch so
+  completion is recorded even for batches that yield zero triples;
 * ``resume_extract`` anti-joins pages against the ledger so a
   restarted job re-reads only unprocessed urls;
 * per-batch writes land in ``batch=<k>`` subdirectories, so a batch
@@ -114,8 +115,18 @@ class ResumableExtraction:
              .partitionBy("batch")
              .option("partitionOverwriteMode", "dynamic")
              .parquet(self.lineage_dir))
-            # commit point: ledger row appears only after data landed
-            (lin.select("url", "n_triples", F.lit(b).alias("batch"))
+            # commit point: ledger rows appear only after data landed.
+            # A NULL-url marker row records batch completion even when
+            # the batch produced zero triples (empty lineage would
+            # otherwise leave the batch permanently "unprocessed" and
+            # resume would re-extract it forever).
+            marker = self.spark.range(1).select(
+                F.lit(None).cast("string").alias("url"),
+                F.lit(0).cast("long").alias("n_triples"),
+                F.lit(b).cast("int").alias("batch"))
+            (lin.select("url", "n_triples", F.lit(b).cast("int")
+                        .alias("batch"))
+             .unionByName(marker)
              .write.mode("append").parquet(self.ledger_dir))
             triples.unpersist()
         return len(todo)

@@ -285,3 +285,121 @@ class TestTagSoupImpliedEndTags:
         assert len(trs) == 2
         assert [len([c for c in tr.child_elements() if c.tag == "td"])
                 for tr in trs] == [2, 1]
+
+
+class TestXmlPathEntities:
+    """Full XHTML named-entity set on the XML path (libxml catalogue
+    parity, Parser.pm:108-119): entity-bearing well-formed XHTML must
+    NOT fall back to tag-soup, &nbsp; must be U+00A0, and the text
+    invariant (F1) must hold byte-identically."""
+
+    DOC = (b'<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML+RDFa 1.0//EN" '
+           b'"http://www.w3.org/MarkUp/DTD/xhtml-rdfa-1.dtd">\n'
+           b'<html xmlns="http://www.w3.org/1999/xhtml"'
+           b' xmlns:ex="http://example.com/ns#">'
+           b'<head><title>A&nbsp;B</title></head><body>'
+           b'<p about="#s" property="ex:p">Tom&nbsp;&amp;&nbsp;Jerry'
+           b' &copy; &ldquo;q&rdquo; &alpha;&beta; caf&eacute;</p>'
+           b'<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-'
+           b'syntax-ns#"></rdf:RDF>'
+           b'</body></html>')
+
+    def test_stays_on_xml_path_with_entities(self):
+        # tag-soup would lowercase rdf:RDF; the XML path keeps case
+        from rdfa_spark.core.dom import parse_markup
+        d = parse_markup(self.DOC, "xml")
+        assert "rdf:RDF" in [e.tag for e in d.iter_elements()]
+
+    def test_entity_values_byte_identical(self):
+        w = parse_rdfa(self.DOC, B)
+        assert count(w, B + "#s", EX + "p",
+                     "Tom & Jerry © “q” "
+                     "αβ café") == 1
+
+    def test_text_extraction_nbsp_is_u00a0(self):
+        from rdfa_spark.core.walk import extract_text
+        txt = extract_text(self.DOC)
+        assert "A B" in txt
+        assert "αβ" in txt  # full HTML4 set, not a subset
+
+    def test_unknown_entity_warns_not_silent(self):
+        doc = (b'<html xmlns="http://www.w3.org/1999/xhtml"'
+               b' xmlns:ex="http://example.com/ns#"><body>'
+               b'<p about="#s" property="ex:p">x &notanentity; y</p>'
+               b'</body></html>')
+        w = parse_rdfa(doc, B)
+        # dropped like libxml recover, but logged in processor graph
+        assert count(w, B + "#s", EX + "p", "x  y") == 1
+        assert any(e.code == "entity-unknown" for e in w.errors)
+
+    def test_cdata_and_comments_not_rewritten(self):
+        from rdfa_spark.core.dom import parse_xml
+        doc = (b'<root><a><![CDATA[&nbsp;]]></a>'
+               b'<!-- &nbsp; --><b>&nbsp;</b></root>')
+        d = parse_xml(doc)
+        els = {e.tag: e for e in d.iter_elements()}
+        assert els["a"].text_content() == "&nbsp;"  # CDATA literal
+        assert els["b"].text_content() == " "
+
+    def test_predefined_entities_untouched(self):
+        from rdfa_spark.core.dom import parse_xml
+        d = parse_xml(b'<r a="&lt;&amp;&gt;">&quot;&apos;</r>')
+        assert d.root.attrs["a"] == "<&>"
+        assert d.root.text_content() == "\"'"
+
+
+class TestFastPathListMappingParity:
+    """The plain-element fast path must not skip the list-mapping
+    reset (Parser.pm:1517-1526): under rel+resource, a plain
+    intermediary changes list ownership on the slow path."""
+
+    def _both_paths(self, doc):
+        from rdfa_spark.core import walk as W
+        w = parse_rdfa(doc, B)
+        fast = sorted((t.subj, t.pred, t.obj, t.is_literal)
+                      for t in w.triples)
+        orig = W.Walker._is_plain_element
+        W.Walker._is_plain_element = lambda self, el: False
+        try:
+            w2 = parse_rdfa(doc, B)
+        finally:
+            W.Walker._is_plain_element = orig
+        slow = sorted((t.subj, t.pred, t.obj, t.is_literal)
+                      for t in w2.triples)
+        return fast, slow
+
+    def test_inlist_under_rel_resource_plain_intermediary(self):
+        doc = """<html xmlns="http://www.w3.org/1999/xhtml"
+          xmlns:ex="http://example.com/ns#"><body>
+          <div rel="ex:knows" resource="#o"><div class="plain">
+          <span about="#s" property="ex:tag" inlist="">v</span>
+          </div></div></body></html>"""
+        fast, slow = self._both_paths(doc)
+        assert fast == slow
+
+    def test_inlist_inherited_subject_plain_intermediary(self):
+        doc = """<html xmlns="http://www.w3.org/1999/xhtml"
+          xmlns:ex="http://example.com/ns#"><body>
+          <div rel="ex:knows" resource="#o"><p><b>
+          <span property="ex:tag" inlist="">x</span>
+          <span property="ex:tag" inlist="">y</span>
+          </b></p></div></body></html>"""
+        fast, slow = self._both_paths(doc)
+        assert fast == slow
+
+
+class TestRdfXmlTypeAttribute:
+    def test_rdf_type_property_attribute_is_resource(self):
+        # rdf:type as a property attribute (RDF/XML 2.13) must be an
+        # IRI triple, not a literal (ADVICE r1)
+        doc = """<html xmlns="http://www.w3.org/1999/xhtml"><body>
+          <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">
+            <rdf:Description rdf:about="http://example.com/e"
+                             rdf:type="http://example.com/ns#Class"/>
+          </rdf:RDF></body></html>"""
+        cfg = make_config("xhtml", RDFA_10, embedded_rdfxml=1)
+        w = parse_rdfa(doc, B, cfg)
+        hits = [t for t in w.triples
+                if t.pred == RDF + "type" and t.obj == EX + "Class"]
+        assert len(hits) == 1
+        assert hits[0].is_literal is False

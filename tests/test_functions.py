@@ -57,11 +57,32 @@ def test_embedding_near_dup_pairs_self_consistency(spark, emb):
                    "embedding")
     both = a.unionByName(b)
     pairs = embedding_near_dup_pairs(both, threshold=0.999,
-                                     n_planes=4)
+                                     bands=2, planes_per_band=4)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
-    # every vector matches its exact copy (cosine == 1, same bucket)
+    # every vector matches its exact copy (cosine == 1, same bucket
+    # in every band); multi-band join must not duplicate pairs
     n = emb.count()
     assert sum((i, i + 10000) in got for i in range(n)) == n
+    assert len(got) == pairs.count()
+
+
+def test_embedding_near_dup_bucket_cap(spark):
+    """max_bucket drops mass-duplicate buckets: a skewed corpus of one
+    repeated vector stays bounded instead of emitting ~N²/2 pairs."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    hot = [float(x) for x in rng.normal(size=8)]
+    rows = ([(i, hot) for i in range(100)]            # one hot cluster
+            + [(1000 + i, [float(x) for x in rng.normal(size=8)])
+               for i in range(20)])
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    capped = embedding_near_dup_pairs(df, threshold=0.999, bands=2,
+                                      planes_per_band=4, max_bucket=50)
+    # the 100-member hot bucket exceeds the cap in every band -> gone
+    assert capped.filter(F.col("id_a") < 1000).count() == 0
+    uncapped = embedding_near_dup_pairs(df, threshold=0.999, bands=2,
+                                        planes_per_band=4)
+    assert uncapped.filter(F.col("id_a") < 1000).count() == 100 * 99 // 2
 
 
 def test_text_functions(spark):

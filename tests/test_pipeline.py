@@ -174,3 +174,45 @@ def test_cc_salted_hot_hub(spark):
                df, max_degree=50, n_salts=4).collect()}
     want = _union_find(edges)
     assert got == want
+
+
+def test_exact_candidate_pairs_skew_guards(spark):
+    """Empty-key block (CJK/punct labels) is dropped and oversized
+    blocks are capped — the within-block self-join stays bounded
+    (VERDICT r1 'what's wrong' #3)."""
+    from rdfa_spark.pipeline.linking import oversized_blocks
+    rows = (
+        # 200 CJK labels -> entity_key '' (would be one quadratic block)
+        [(f"m{i}", f"实体{i}", "") for i in range(200)]
+        # an oversized ascii block (cap routes it away)
+        + [(f"b{i}", f"brand variant {i}", "brand") for i in range(50)]
+        # two normal blocks
+        + [("x1", "Ada Lovelace", "adalovelace"),
+           ("x2", "ada lovelace!", "adalovelace"),
+           ("y1", "Alan Turing", "alanturing")]
+    )
+    m = spark.createDataFrame(rows, ["mention", "label", "entity_key"])
+    pairs = exact_candidate_pairs(m, max_block=10)
+    got = {(r.label_a, r.label_b) for r in pairs.collect()}
+    assert got == {("Ada Lovelace", "ada lovelace!")}
+    over = {r.entity_key: r.n_labels
+            for r in oversized_blocks(m, max_block=10).collect()}
+    assert over == {"": 200, "brand": 50}
+    # cap off: oversized ascii block joins, empty key still excluded
+    pairs_nocap = exact_candidate_pairs(m, max_block=None)
+    assert pairs_nocap.count() == 50 * 49 // 2 + 1
+
+
+def test_resumable_empty_batch_recorded(spark, tmp_path):
+    """A batch whose pages yield zero triples must still be recorded
+    as processed (ADVICE r1: resume must converge)."""
+    # pages with no RDFa at all -> zero triples everywhere
+    rows = [(f"http://ex.com/{i}", "<html><body><p>plain</p></body></html>")
+            for i in range(8)]
+    pages = spark.createDataFrame(rows, ["url", "html"])
+    out = str(tmp_path / "kg_empty")
+    run = ResumableExtraction(spark, out, n_batches=3)
+    assert run.run(pages) == 3
+    assert run.processed_batches() == {0, 1, 2}
+    # converged: nothing left to do
+    assert run.run(pages) == 0
