@@ -280,6 +280,17 @@ def q_simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "simhash")
 
 
+def q_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass extraction: triples + errors + text from ONE parse
+    per page (kind discriminator 't'/'e'/'x'); replaces three
+    independent parse passes in a pipeline that wants all outputs."""
+    from rdfa_spark.extract import extract_all
+    allx = extract_all(load_pages(spark, sf_dir))
+    return allx.select("url", "kind", "subj", "pred", "obj",
+                       "obj_is_literal", "obj_datatype", "obj_lang",
+                       "code", "text", "n_triples")
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN — the scale path (broadcast centroid assignment +
     nprobe rerank); deterministic by construction (first-N centroids,
@@ -314,6 +325,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfa_text": q_rdfa_text,
         "entity_mentions": q_entity_mentions,
         "rdfa_errors": q_rdfa_errors,
+        "extract_all": q_extract_all,
         "og_collect": q_og_collect,
         "entity_canonical": q_entity_canonical,
         "cc_chain": q_cc_chain,
@@ -341,6 +353,7 @@ def oracle_sql() -> dict[str, str]:
         "rdfa_text": oracle.RDFA_TEXT_SQL,
         "entity_mentions": oracle.ENTITY_MENTIONS_SQL,
         "rdfa_errors": oracle.RDFA_ERRORS_SQL,
+        "extract_all": oracle.EXTRACT_ALL_SQL,
         "og_collect": oracle.OG_COLLECT_SQL,
         "entity_canonical": oracle.ENTITY_CANONICAL_SQL,
         "cc_chain": oracle.CC_CHAIN_SQL,

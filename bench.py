@@ -183,7 +183,7 @@ def main() -> None:
                       shuffle_partitions=2 * CPUS)
     try:
         queries = entry_mod.queries()
-        for name in ["rdfa_triples", "rdfa_og_title",
+        for name in ["rdfa_triples", "extract_all", "rdfa_og_title",
                      "rdfa_pred_counts", "entity_canonical",
                      "cc_chain", "dedup_exact", "minhash_band_pairs",
                      "language_id", "quality_score", "ann_topk",

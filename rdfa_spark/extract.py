@@ -205,6 +205,119 @@ def _walk_batches(batches: Iterator[pd.DataFrame], config: Config | None,
         yield pd.DataFrame(rows, columns=cols)
 
 
+_ALL_ARROW_NAMES = [f.name for f in EXTRACT_ALL_SCHEMA.fields]
+
+
+def _walk_arrow_all(batches, config: Config | None):
+    """One parse per page, three row kinds out (triples 't', errors
+    'e', text/lineage 'x').  Parse failures always land as an error
+    row — pages can never vanish without a trace."""
+    import pyarrow as pa
+
+    for rb in batches:
+        urls = rb.column(rb.schema.get_field_index("url")).to_pylist()
+        htmls = rb.column(rb.schema.get_field_index("html")).to_pylist()
+        cols: list[list] = [[] for _ in _ALL_ARROW_NAMES]
+        (c_url, c_kind, c_subj, c_pred, c_obj, c_lit, c_dt, c_lang,
+         c_graph, c_seq, c_level, c_code, c_msg, c_path, c_text,
+         c_ntrip) = cols
+
+        def pad(n):
+            # fill every non-appended column with nulls to length n
+            for c in cols:
+                c.extend([None] * (n - len(c)))
+
+        for i in range(rb.num_rows):
+            html = htmls[i]
+            if html is None:
+                continue
+            url = urls[i]
+            try:
+                w = parse_rdfa(html, url, _config_for(html, config))
+            except Exception as exc:
+                c_url.append(url)
+                c_kind.append("e")
+                c_level.append("error")
+                c_code.append("parse-failed")
+                c_msg.append(str(exc)[:500])
+                pad(len(c_url))
+                continue
+            for seq, t in enumerate(w.triples):
+                c_url.append(url)
+                c_kind.append("t")
+                c_subj.append(t.subj)
+                c_pred.append(t.pred)
+                c_obj.append(t.obj)
+                c_lit.append(t.is_literal)
+                c_dt.append(t.datatype)
+                c_lang.append(t.lang)
+                c_graph.append(t.graph)
+                c_seq.append(seq)
+                pad(len(c_url))
+            for e in w.errors:
+                c_url.append(url)
+                c_kind.append("e")
+                c_level.append(e.level)
+                c_code.append(e.code)
+                c_msg.append(e.message)
+                c_path.append(e.node_path)
+                pad(len(c_url))
+            c_url.append(url)
+            c_kind.append("x")
+            c_text.append(w.doc.root.text_content()
+                          if w.doc.root is not None else "")
+            c_ntrip.append(len(w.triples))
+            pad(len(c_url))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(c_url, pa.string()),
+             pa.array(c_kind, pa.string()),
+             pa.array(c_subj, pa.string()),
+             pa.array(c_pred, pa.string()),
+             pa.array(c_obj, pa.string()),
+             pa.array(c_lit, pa.bool_()),
+             pa.array(c_dt, pa.string()),
+             pa.array(c_lang, pa.string()),
+             pa.array(c_graph, pa.string()),
+             pa.array(c_seq, pa.int64()),
+             pa.array(c_level, pa.string()),
+             pa.array(c_code, pa.string()),
+             pa.array(c_msg, pa.string()),
+             pa.array(c_path, pa.string()),
+             pa.array(c_text, pa.string()),
+             pa.array(c_ntrip, pa.int32())],
+            names=_ALL_ARROW_NAMES)
+
+
+def extract_all(pages: DataFrame,
+                config: Config | None = None) -> DataFrame:
+    """Single-pass extraction: triples + processor-graph errors +
+    text/lineage from ONE parse per page (the parse dominates the
+    stage cost; three dedicated passes would pay it three times).
+
+    Materialize (persist or write) the result once, then split with
+    ``split_extracts``.  Parse failures appear as
+    (kind='e', code='parse-failed') rows — never silently dropped.
+    """
+    proj = pages.select("url", "html")
+    return proj.mapInArrow(
+        lambda it: _walk_arrow_all(it, config), EXTRACT_ALL_SCHEMA)
+
+
+def split_extracts(all_df: DataFrame) -> tuple[DataFrame, DataFrame,
+                                               DataFrame]:
+    """(triples, errors, texts) views over an ``extract_all`` result,
+    each with the exact schema of the dedicated extractor.  On a
+    parquet-materialized extract the kind filter is pushed to the
+    scan; on a persisted DataFrame it's a cheap in-memory filter."""
+    triples = (all_df.filter(F.col("kind") == "t")
+               .select(*[f.name for f in TRIPLE_SCHEMA.fields]))
+    errors = (all_df.filter(F.col("kind") == "e")
+              .select(*[f.name for f in ERROR_SCHEMA.fields]))
+    texts = (all_df.filter(F.col("kind") == "x")
+             .select(*[f.name for f in TEXT_SCHEMA.fields]))
+    return triples, errors, texts
+
+
 def extract_triples(pages: DataFrame, config: Config | None = None,
                     dedup: bool = False) -> DataFrame:
     """pages(url, html, ...) -> triples DataFrame.

@@ -127,6 +127,26 @@ SELECT CAST(doc_id AS VARCHAR) AS node,
 FROM documents
 """
 
+# Single-pass multi-output extraction: triples (kind 't') + processor
+# errors ('e') + text/lineage ('x') from ONE parse —
+# rdfa_spark.extract.extract_all projected to SQL-expressible columns.
+EXTRACT_ALL_SQL = TRIPLES_CTE + """
+SELECT url, 't' AS kind, subj, pred, obj, obj_is_literal,
+       obj_datatype, obj_lang,
+       CAST(NULL AS VARCHAR) AS code, CAST(NULL AS VARCHAR) AS text,
+       CAST(NULL AS INTEGER) AS n_triples
+FROM trip
+UNION ALL
+SELECT url, 'e', NULL, NULL, NULL, NULL, NULL, NULL,
+       'curie-fellthrough', NULL, NULL
+FROM d WHERE t = 1
+UNION ALL
+SELECT url, 'x', NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+       title || source || 'who' || 'rel' || text,
+       CAST(CASE WHEN t IN (0, 1) THEN 9 ELSE 8 END AS INTEGER)
+FROM d
+"""
+
 # ---------------------------------------------------------------------------
 # Relational surface: window functions + multi-way join coverage
 # (classic operators the engine gets from Catalyst; oracled in DuckDB)

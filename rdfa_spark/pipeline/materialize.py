@@ -27,7 +27,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..extract import extract_triples
+from ..extract import extract_all, split_extracts
 
 N_BUCKETS_DEFAULT = 64
 
@@ -75,6 +75,7 @@ class ResumableExtraction:
         self.n_buckets = n_buckets
         self.triples_dir = os.path.join(out_dir, "triples")
         self.lineage_dir = os.path.join(out_dir, "lineage")
+        self.errors_dir = os.path.join(out_dir, "errors")
         self.ledger_dir = os.path.join(out_dir, "_processed_urls")
 
     # -- ledger -------------------------------------------------------
@@ -103,13 +104,22 @@ class ResumableExtraction:
         for b in todo:
             batch_pages = staged.filter(F.col("_batch") == b) \
                                 .drop("_batch")
-            triples = extract_triples(batch_pages).persist()
+            # ONE parse per page: triples + processor-graph errors +
+            # lineage all come out of this persisted multi-output pass
+            # (three dedicated extractors would parse the HTML 3x)
+            extracted = extract_all(batch_pages).persist()
+            triples, errors, _ = split_extracts(extracted)
             (with_subject_bucket(triples, self.n_buckets)
              .withColumn("batch", F.lit(b))
              .write.mode("overwrite")
              .partitionBy("batch", "subj_bucket")
              .option("partitionOverwriteMode", "dynamic")
              .parquet(self.triples_dir))
+            (errors.withColumn("batch", F.lit(b))
+             .write.mode("overwrite")
+             .partitionBy("batch")
+             .option("partitionOverwriteMode", "dynamic")
+             .parquet(self.errors_dir))
             lin = lineage(triples).withColumn("batch", F.lit(b))
             (lin.write.mode("overwrite")
              .partitionBy("batch")
@@ -128,8 +138,11 @@ class ResumableExtraction:
                         .alias("batch"))
              .unionByName(marker)
              .write.mode("append").parquet(self.ledger_dir))
-            triples.unpersist()
+            extracted.unpersist()
         return len(todo)
 
     def triples(self) -> DataFrame:
         return self.spark.read.parquet(self.triples_dir)
+
+    def errors(self) -> DataFrame:
+        return self.spark.read.parquet(self.errors_dir)

@@ -48,7 +48,7 @@ def _compare(spark, sf_dir, name):
 
 @pytest.mark.parametrize("name", [
     "rdfa_triples", "rdfa_og_title", "rdfa_pred_counts", "rdfa_text",
-    "rdfa_errors", "og_collect",
+    "rdfa_errors", "og_collect", "extract_all",
     "entity_mentions", "entity_canonical", "cc_chain", "token_stats",
     "doc_fingerprint", "language_id", "quality_score", "dedup_exact",
     "minhash_signature", "minhash_band_pairs", "ann_topk",
