@@ -18,10 +18,17 @@ HOST_DATARSS = "datarss"
 HOST_HTML32 = "html32"
 HOST_HTML4 = "html4"
 HOST_HTML5 = "html5"
+HOST_OPENDOCUMENT_XML = "opendocument-xml"
+HOST_OPENDOCUMENT_ZIP = "opendocument-zip"
 HOST_SVG = "svg"
 HOST_XHTML = "xhtml"
 HOST_XHTML5 = "xhtml5"
 HOST_XML = "xml"
+
+# OpenDocument namespaces (Config.pm:81-96)
+_ODT_TEXT_NS = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+_OD_WRAPPER_NS = ("http://purl.org/NET/cpan-uri/dist/RDF-RDFa-Parser/"
+                  "opendocument-dom-wrapper")
 
 RDFA_10 = "1.0"
 RDFA_11 = "1.1"
@@ -38,6 +45,9 @@ class Config:
     atom_elements: bool = False
     atom_parser: bool = False
     auto_config: bool = False
+    bookmark_end: str | None = None
+    bookmark_name: str | None = None
+    bookmark_start: str | None = None
     cite_attr: bool = False
     datetime_attr: bool = False
     dom_parser: str = "xml"
@@ -159,6 +169,22 @@ _HOST_OVERRIDES: dict[str, dict] = {
         prefix_nocase_xmlns=True, xhtml_base=1, xhtml_elements=1,
         xhtml_lang=True, xml_base=0, xml_lang=True,
     ),
+    HOST_OPENDOCUMENT_XML: dict(
+        bookmark_end="{%s}bookmark-end" % _ODT_TEXT_NS,
+        bookmark_name="{%s}name" % _ODT_TEXT_NS,
+        bookmark_start="{%s}bookmark-start" % _ODT_TEXT_NS,
+        ns="http://www.w3.org/1999/xhtml",
+    ),
+    HOST_OPENDOCUMENT_ZIP: dict(
+        bookmark_end="{%s}bookmark-end" % _ODT_TEXT_NS,
+        bookmark_name="{%s}name" % _ODT_TEXT_NS,
+        bookmark_start="{%s}bookmark-start" % _ODT_TEXT_NS,
+        dom_parser="opendocument",
+        graph=3,
+        graph_attr="{%s}graph" % _OD_WRAPPER_NS,
+        graph_type="about",
+        ns="http://www.w3.org/1999/xhtml",
+    ),
     HOST_SVG: {},
     HOST_XHTML: dict(
         embedded_rdfxml=0, xhtml_base=1, xhtml_elements=1, xml_base=0,
@@ -235,11 +261,20 @@ def tagsoup_config(**options) -> Config:
     return make_config(HOST_HTML5, RDFA_LATEST, **opts)
 
 
+# OpenDocumentObjectModel.pm:8-23 @Types
+ODF_MEDIA_TYPES = tuple(
+    "application/vnd.oasis.opendocument." + t for t in (
+        "chart database formula graphics graphics-template image "
+        "presentation presentation-template spreadsheet "
+        "spreadsheet-template text text-master text-template "
+        "text-web").split())
+
 _MEDIA_TYPES = {
     "application/atom+xml": HOST_ATOM,
     "application/vnd.wap.xhtml+xml": HOST_XHTML,
     "application/xhtml+xml": HOST_XHTML,
     "application/xml": HOST_XML,
+    "application/zip": HOST_OPENDOCUMENT_ZIP,
     "image/svg+xml": HOST_SVG,
     "text/html": HOST_HTML5,
     "text/xml": HOST_XML,
@@ -251,6 +286,8 @@ def host_from_media_type(mediatype: str) -> str | None:
     host = _MEDIA_TYPES.get(mediatype)
     if host:
         return host
+    if mediatype in ODF_MEDIA_TYPES:
+        return HOST_OPENDOCUMENT_ZIP
     if "+xml" in mediatype:
         return HOST_XML
     return None

@@ -131,6 +131,41 @@ class _Ctx:
         self.xml_base = xml_base
 
 
+def _clark(el: Element) -> str:
+    """{namespace}localname form of an element's expanded name."""
+    return "{%s}%s" % (el.namespace_uri or "", el.localname)
+
+
+def _split_clark(s: str) -> tuple[str | None, str]:
+    m = re.match(r"^\{(.*)\}(.+)$", s)
+    if m:
+        return (m.group(1) or None, m.group(2))
+    return (None, s)
+
+
+def _following(el: Element):
+    """Document-order successors of ``el`` — its subtree first, then
+    each ancestor's following siblings' subtrees (text nodes and
+    elements; the reference's _find_next_node loop,
+    Parser.pm:2521-2539)."""
+    def subtree(e: Element):
+        for c in e.children:
+            yield c
+            if isinstance(c, Element):
+                yield from subtree(c)
+
+    yield from subtree(el)
+    node = el
+    while node.parent is not None:
+        sibs = node.parent.children
+        idx = next(i for i, c in enumerate(sibs) if c is node)
+        for c in sibs[idx + 1:]:
+            yield c
+            if isinstance(c, Element):
+                yield from subtree(c)
+        node = node.parent
+
+
 class Walker:
     """One document's parse state (the reference's parser object)."""
 
@@ -248,6 +283,27 @@ class Walker:
 
     def _has(self, el: Element, name: str) -> bool:
         return self._attr(el, name) is not None
+
+    def _bookmarked_string(self, bm: Element) -> str:
+        """F3 — text between a bookmark-start element and the
+        bookmark-end element carrying the same name attribute, in
+        document order across element boundaries
+        (Parser.pm:2473-2539 _element_to_bookmarked_string)."""
+        cfg = self.config
+        name_ns, name_local = _split_clark(cfg.bookmark_name)
+        end_ns, end_local = _split_clark(cfg.bookmark_end)
+        bm_name = self._attr_ns(bm, name_ns, name_local)
+        out: list[str] = []
+        for node in _following(bm):
+            if isinstance(node, str):
+                out.append(node)
+            elif isinstance(node, Element):
+                if (node.localname == end_local
+                        and node.namespace_uri == end_ns
+                        and self._attr_ns(node, name_ns,
+                                          name_local) == bm_name):
+                    break
+        return "".join(out)
 
     # ------------------------------------------------------------------
     def expand_curie(self, token: str, el: Element, attribute: str,
@@ -818,6 +874,17 @@ class Walker:
                 recurse = cfg.xmllit_recurse
             elif has_datatype:
                 cpv = (el.text_content(), datatype, current_language)
+            elif (cfg.bookmark_start and cfg.bookmark_end
+                  and cfg.bookmark_name
+                  and _clark(el) in (cfg.bookmark_start,
+                                     "{}" + cfg.bookmark_start)):
+                # OpenDocument 1.2 bookmarked-range extension (F3,
+                # Parser.pm:1787-1797): the literal is the text
+                # between this bookmark-start and the bookmark-end
+                # carrying the same name, crossing element boundaries
+                cpv = (self._bookmarked_string(el),
+                       datatype if has_datatype else None,
+                       current_language)
             elif (cfg.property_resources and not has_rel and not has_rev
                   and ((_ga("resource") is not None) or (_ga("href") is not None)
                        or ((_ga("src") is not None)
@@ -1021,7 +1088,13 @@ def parse_rdfa(markup: bytes | str, base: str,
     (Parser.pm:91-202,489-544).
     """
     cfg = config or make_config()
-    doc = parse_markup(markup, cfg.dom_parser)
+    if cfg.dom_parser == "opendocument":
+        from .odf import parse_opendocument
+        if isinstance(markup, str):
+            markup = markup.encode("utf-8", "surrogateescape")
+        doc = parse_opendocument(markup, base)
+    else:
+        doc = parse_markup(markup, cfg.dom_parser)
     return Walker(doc, base, cfg, token_rewrites).consume()
 
 

@@ -92,6 +92,8 @@ def detect_config(html: bytes) -> Config:
     anything else -> html5 tag-soup.  Root @version still upgrades/
     downgrades the RDFa version (guess mode, Config.pm:342-367).
     """
+    if html[:4] == b"PK\x03\x04":      # ZIP magic -> ODF package
+        return make_config("opendocument-zip", "1.1")
     head = html[:2048].lstrip()
     is_xhtml = (head.startswith(b"<?xml")
                 or b'xmlns="http://www.w3.org/1999/xhtml"' in head)
@@ -105,6 +107,13 @@ _CFG_CACHE: dict[tuple, Config] = {}
 def _config_for(html: bytes, config: Config | None) -> Config:
     if config is not None:
         return config
+    if html[:4] == b"PK\x03\x04":      # ZIP magic: ODF package (S3)
+        key = ("opendocument-zip",)
+        cfg = _CFG_CACHE.get(key)
+        if cfg is None:
+            cfg = make_config(key[0], "1.1")
+            _CFG_CACHE[key] = cfg
+        return cfg
     head = html[:2048].lstrip()
     is_xhtml = (head.startswith(b"<?xml")
                 or b'xmlns="http://www.w3.org/1999/xhtml"' in head)
