@@ -14,8 +14,12 @@ Scale notes:
   hot components, and `salt_hot_keys` pre-splits the giant-component
   star pattern that AQE can't fix inside an iterative loop
   (SURVEY.md §4);
-* `localCheckpoint` every round cuts the lineage chain so round N's
-  plan doesn't replay rounds 1..N-1.
+* checkpointing every round cuts the lineage chain so round N's
+  plan doesn't replay rounds 1..N-1.  ``reliable=False`` (default,
+  sandbox/local) uses ``localCheckpoint`` — executor-memory-resident,
+  lost on executor failure; on a real cluster with dynamic allocation
+  pass ``reliable=True`` (requires ``sc.setCheckpointDir``) so rounds
+  persist to reliable storage and survive executor loss.
 """
 
 from __future__ import annotations
@@ -64,6 +68,14 @@ def _small_star(e: DataFrame) -> DataFrame:
             .distinct())
 
 
+def _checkpoint(df: DataFrame, reliable: bool) -> DataFrame:
+    """Cut lineage: reliable (HDFS/object-store via
+    ``sc.setCheckpointDir``) or executor-local."""
+    if reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def _fingerprint(e: DataFrame) -> tuple[int, int]:
     row = e.agg(
         F.count("*").alias("n"),
@@ -75,17 +87,18 @@ def _fingerprint(e: DataFrame) -> tuple[int, int]:
 
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst",
-                         max_iter: int = 30) -> DataFrame:
+                         max_iter: int = 30,
+                         reliable: bool = False) -> DataFrame:
     """-> (node, component) where component = min node id (string
     order) in the node's connected component.
 
     Isolated nodes (no edges) are not returned; union them in from
     the node table with component = node if needed.
     """
-    e = _canon_edges(edges, src, dst).localCheckpoint(eager=True)
+    e = _checkpoint(_canon_edges(edges, src, dst), reliable)
     prev = _fingerprint(e)
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _checkpoint(_small_star(_large_star(e)), reliable)
         cur = _fingerprint(e)
         if cur == prev:
             break
@@ -159,22 +172,25 @@ def connected_components_salted(edges: DataFrame, src: str = "src",
                                 dst: str = "dst",
                                 max_degree: int = 100_000,
                                 n_salts: int = 16,
-                                max_iter: int = 30) -> DataFrame:
+                                max_iter: int = 30,
+                                reliable: bool = False) -> DataFrame:
     """CC with explicit hot-key salting applied up front."""
     salted = salt_hot_nodes(edges, max_degree, n_salts, src, dst)
     return strip_salt(
-        connected_components(salted, "a", "b", max_iter))
+        connected_components(salted, "a", "b", max_iter, reliable))
 
 
 def label_propagation_components(edges: DataFrame, src: str = "src",
                                  dst: str = "dst",
-                                 max_iter: int = 30) -> DataFrame:
+                                 max_iter: int = 30,
+                                 reliable: bool = False) -> DataFrame:
     """Min-label propagation — O(diameter) rounds; simpler per-round
     plan, used as cross-check and for known small-diameter graphs."""
     e = _canon_edges(edges, src, dst)
     nbrs = (e.union(e.select(F.col("b").alias("a"),
                              F.col("a").alias("b")))
-            .localCheckpoint(eager=True))
+            )
+    nbrs = _checkpoint(nbrs, reliable)
     labels = (nbrs.select(F.col("a").alias("node"))
               .distinct()
               .select("node", F.col("node").alias("component")))
@@ -185,8 +201,8 @@ def label_propagation_components(edges: DataFrame, src: str = "src",
                         F.col("component")))
         new_labels = (labels.union(cand)
                       .groupBy("node")
-                      .agg(F.min("component").alias("component"))
-                      .localCheckpoint(eager=True))
+                      .agg(F.min("component").alias("component")))
+        new_labels = _checkpoint(new_labels, reliable)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.component") != F.col("o.component"))

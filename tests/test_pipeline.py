@@ -216,3 +216,18 @@ def test_resumable_empty_batch_recorded(spark, tmp_path):
     assert run.processed_batches() == {0, 1, 2}
     # converged: nothing left to do
     assert run.run(pages) == 0
+
+
+def test_cc_reliable_checkpoint(spark, tmp_path):
+    """reliable=True uses spark's reliable checkpoint (survives
+    executor loss on a real cluster); results identical."""
+    ckpt = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    edges = [(f"n{i:02d}", f"n{i - 1:02d}")
+             for i in range(30) if i % 10 != 0]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.component for r in
+           connected_components(df, reliable=True).collect()}
+    assert got == _union_find(edges)
+    import os
+    assert any(files for _, _, files in os.walk(ckpt))  # files landed

@@ -79,3 +79,65 @@ def test_crawl_rate_metrics_plan(spark, sf_dir, tmp_path):
     # watermark semantics: final windows emitted after stream end
     n = spark.sql("select count(*) from crawl_metrics").first()[0]
     assert n >= 0
+
+
+def test_turtle_lines_prefix_compression(spark):
+    from rdfa_spark.sinks import turtle_lines
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    rows = [
+        ("u", "http://ex.com/s", "http://purl.org/dc/terms/title",
+         "A \"q\"\nB", True, None, "en", None, 0),
+        ("u", "http://ex.com/s", "http://schema.org/age",
+         "42", True, XSD + "integer", None, None, 1),
+        ("u", "_:b0", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "http://schema.org/Person", False, None, None, None, 2),
+        # local part with a slash -> NOT compressible, stays <wrapped>
+        ("u", "http://ex.com/s", "http://schema.org/a/b",
+         "http://ex.com/o", False, None, None, None, 3),
+    ]
+    df = spark.createDataFrame(rows, schema=(
+        "url string, subj string, pred string, obj string, "
+        "obj_is_literal boolean, obj_datatype string, "
+        "obj_lang string, graph string, emit_seq long"))
+    got = [r.value for r in
+           turtle_lines(df.orderBy("emit_seq")).collect()]
+    assert got[0] == ('<http://ex.com/s> dcterms:title '
+                      '"A \\"q\\"\\nB"@en .')
+    assert got[1] == '<http://ex.com/s> schema:age "42"^^xsd:integer .'
+    assert got[2] == "_:b0 rdf:type schema:Person ."
+    assert got[3] == ('<http://ex.com/s> <http://schema.org/a/b> '
+                      '<http://ex.com/o> .')
+
+
+def test_write_turtle_roundtrip(spark, sf_dir, tmp_path):
+    """Directory concatenation in name order is one valid Turtle doc;
+    expanding pnames with the declared prefixes recovers exactly the
+    N-Triples serialization (round-trippable)."""
+    import glob
+    import re
+    from rdfa_spark.sinks import (DEFAULT_PREFIXES, ntriples_lines,
+                                  write_turtle)
+    triples = extract_triples(load_pages(spark, sf_dir)).limit(200) \
+        .cache()
+    out = str(tmp_path / "ttl")
+    write_turtle(triples, out)
+    files = sorted(glob.glob(f"{out}/*"))
+    assert files[0].endswith("00_prefixes.ttl")
+    text = "".join(open(f).read() for f in files
+                   if not f.endswith((".crc", "_SUCCESS")))
+    # declared prefixes parse
+    decls = dict(re.findall(r"@prefix (\w+): <([^>]+)> \.", text))
+    assert decls == {k: v for k, v in DEFAULT_PREFIXES.items()}
+    # expand pnames back to IRIs -> must equal the N-Triples lines
+    data_lines = [l for l in text.splitlines()
+                  if l and not l.startswith("@prefix")]
+
+    def expand(line):
+        def sub(m):
+            return f"<{decls[m.group(1)]}{m.group(2)}>"
+        return re.sub(r"(?<![<\"\w])(\w+):([A-Za-z_][A-Za-z0-9_-]*)",
+                      sub, line)
+
+    expanded = sorted(expand(l) for l in data_lines)
+    nt = sorted(r.value for r in ntriples_lines(triples).collect())
+    assert expanded == nt
