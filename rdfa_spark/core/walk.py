@@ -893,9 +893,16 @@ class Walker:
                     v = _ga(attr)
                     if v is None:
                         continue
-                    cpv_resource = self.expand_curie(
-                        v, el, attr, local_uri_mappings,
-                        local_term_mappings, xml_base)
+                    if attr == "resource":
+                        # @resource is a CURIEorURI…
+                        cpv_resource = self.expand_curie(
+                            v, el, attr, local_uri_mappings,
+                            local_term_mappings, xml_base)
+                    else:
+                        # …but @href/@src are plain URIs
+                        # (Parser.pm:1860-1905 property_resources)
+                        cpv_resource = self.uri(
+                            v, xml_base=hrefsrc_base)
                     if cpv_resource is not None:
                         break
             elif (cfg.property_resources and typed_resource is not None

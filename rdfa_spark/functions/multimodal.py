@@ -2,12 +2,16 @@
 
 Image/audio/video payloads ride as ``binary`` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample run
-as Arrow-batched ``mapInPandas`` stages.  The decode libraries are
-not available in this container, so the decode step is STUBBED: with
-``decoder="fake"`` (default) a deterministic md5-driven pseudo-decode
-exercises the full Spark plumbing (schema, batching, UDF signature);
-``decoder="real"`` raises NotImplementedError at the decode site —
-swap in PIL/ffmpeg there on a real cluster.
+as Arrow-batched ``mapInPandas`` stages.  Decoders:
+
+* ``decoder="fake"`` (default) — deterministic md5-driven
+  pseudo-decode exercising the full Spark plumbing (schema, batching,
+  UDF signature) for any payload;
+* ``decoder="real"`` — the pure-stdlib codecs in ``codecs.py``: PNG
+  full pixel decode + 4x4 luminance-grid feature, WAV full sample
+  decode + 16-bin RMS feature, JPEG/GIF dimensions; formats with no
+  stdlib codec (MP4, WEBP, ...) raise NotImplementedError at the
+  decode site — swap in PIL/ffmpeg there on a real cluster.
 """
 
 from __future__ import annotations
@@ -68,9 +72,9 @@ def extract_features(assets: DataFrame,
                     w, hgt, nf, feat = _fake_decode(bytes(payload),
                                                     r.kind)
                 else:
-                    raise NotImplementedError(
-                        "real decoders (PIL/ffmpeg) are not available "
-                        "in this container; plug them in here")
+                    from .codecs import real_decode
+                    w, hgt, nf, feat = real_decode(bytes(payload),
+                                                   r.kind)
                 rows.append((r.asset_id, r.kind, w, hgt, nf, feat))
             yield pd.DataFrame(rows, columns=[
                 f.name for f in FEATURE_SCHEMA.fields])

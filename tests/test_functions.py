@@ -149,3 +149,165 @@ def test_ivf_ann_recall_and_determinism(spark, emb):
     for qid, rank, nid, score in r1:
         if (qid, nid) in exact_scores:
             assert abs(exact_scores[(qid, nid)] - score) < 1e-12
+
+
+def _make_png(rows):
+    """Minimal valid RGB PNG (filter 0) from [[(r,g,b), ...], ...]."""
+    import struct
+    import zlib
+
+    h, w = len(rows), len(rows[0])
+
+    def chunk(typ, data):
+        c = struct.pack(">I", len(data)) + typ + data
+        return c + struct.pack(">I", zlib.crc32(typ + data))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(v for px in row for v in px)
+                   for row in rows)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def _make_wav(n_frames=8000, rate=8000, amp=16384):
+    import io
+    import math
+    import struct
+    import wave
+    buf = io.BytesIO()
+    wf = wave.open(buf, "wb")
+    wf.setnchannels(1)
+    wf.setsampwidth(2)
+    wf.setframerate(rate)
+    # silence for the first half, a 440 Hz tone for the second
+    frames = bytearray()
+    for i in range(n_frames):
+        v = 0 if i < n_frames // 2 else int(
+            amp * math.sin(2 * math.pi * 440 * i / rate))
+        frames += struct.pack("<h", v)
+    wf.writeframes(bytes(frames))
+    wf.close()
+    return buf.getvalue()
+
+
+def test_real_png_decode_grid_feature():
+    from rdfa_spark.functions.codecs import (decode_png, grid_feature,
+                                             real_decode)
+    # 8x8: left half white, right half black
+    rows = [[(255, 255, 255)] * 4 + [(0, 0, 0)] * 4 for _ in range(8)]
+    png = _make_png(rows)
+    w, h, gray = decode_png(png)
+    assert (w, h) == (8, 8)
+    assert gray[0][0] == 1.0 and gray[7][7] == 0.0
+    feat = grid_feature(gray, w, h)
+    assert len(feat) == 16
+    # left two grid columns white (1.0), right two black (0.0)
+    for gy in range(4):
+        assert feat[gy * 4 + 0] == 1.0 and feat[gy * 4 + 1] == 1.0
+        assert feat[gy * 4 + 2] == 0.0 and feat[gy * 4 + 3] == 0.0
+    assert real_decode(png, "image")[:3] == (8, 8, 1)
+
+
+def test_real_png_filters_roundtrip():
+    """Filters 1-4 unfilter correctly: re-encode a gradient with each
+    filter type and compare to filter-0 decode."""
+    import struct
+    import zlib
+    from rdfa_spark.functions.codecs import decode_png
+    rows = [[((x * 37 + y * 11) % 256,) * 3 for x in range(6)]
+            for y in range(5)]
+    base = decode_png(_make_png(rows))[2]
+
+    def encode_filtered(filter_type):
+        w, h, nch = 6, 5, 3
+        flat = [bytes(v for px in row for v in px) for row in rows]
+        out = bytearray()
+        prev = bytes(w * nch)
+        for row in flat:
+            line = bytearray(row)
+            enc = bytearray(line)
+            if filter_type == 1:
+                for i in range(w * nch - 1, nch - 1, -1):
+                    enc[i] = (line[i] - line[i - nch]) & 255
+            elif filter_type == 2:
+                for i in range(w * nch):
+                    enc[i] = (line[i] - prev[i]) & 255
+            elif filter_type == 3:
+                for i in range(w * nch):
+                    a = line[i - nch] if i >= nch else 0
+                    enc[i] = (line[i] - ((a + prev[i]) >> 1)) & 255
+            elif filter_type == 4:
+                for i in range(w * nch):
+                    a = line[i - nch] if i >= nch else 0
+                    b = prev[i]
+                    c = prev[i - nch] if i >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                    enc[i] = (line[i] - pr) & 255
+            out += bytes([filter_type]) + bytes(enc)
+            prev = line
+
+        def chunk(typ, data):
+            c = struct.pack(">I", len(data)) + typ + data
+            return c + struct.pack(">I", zlib.crc32(typ + data))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(out)))
+                + chunk(b"IEND", b""))
+
+    for ft in (1, 2, 3, 4):
+        assert decode_png(encode_filtered(ft))[2] == base, ft
+
+
+def test_real_wav_decode():
+    from rdfa_spark.functions.codecs import decode_wav, real_decode
+    wav = _make_wav()
+    nch, rate, n_frames, rms = decode_wav(wav)
+    assert (nch, rate, n_frames) == (1, 8000, 8000)
+    assert len(rms) == 16
+    # first half silent, second half loud
+    assert all(v < 0.01 for v in rms[:8])
+    assert all(v > 0.2 for v in rms[8:])
+    w, h, nf, feat = real_decode(wav, "audio")
+    assert (w, h, nf) == (8000, 1, 8000) and feat == rms
+
+
+def test_real_jpeg_gif_dimensions():
+    import struct
+    from rdfa_spark.functions.codecs import (gif_dimensions,
+                                             jpeg_dimensions)
+    # minimal JPEG: SOI + APP0 + SOF0(300x200)
+    jpeg = (b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+            + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 200, 300) + b"\x03\x01\x11\x00")
+    assert jpeg_dimensions(jpeg) == (300, 200)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 240) + b"\x00" * 10
+    assert gif_dimensions(gif) == (320, 240)
+
+
+def test_real_decoder_through_spark(spark):
+    """decoder='real' end-to-end over binary payloads: PNG and WAV
+    decode for real; an MP4-ish payload still raises (honest stub)."""
+    png = _make_png([[(255, 255, 255)] * 4 + [(0, 0, 0)] * 4
+                     for _ in range(8)])
+    wav = _make_wav(n_frames=1600, rate=8000)
+    rows = [("img1", "image", bytearray(png), "image/png"),
+            ("aud1", "audio", bytearray(wav), "audio/wav")]
+    df = spark.createDataFrame(
+        rows, "asset_id string, kind string, payload binary, "
+              "mime string")
+    got = {r.asset_id: r for r in
+           extract_features(df, decoder="real").collect()}
+    assert (got["img1"].width, got["img1"].height) == (8, 8)
+    assert got["img1"].feature[0] == 1.0
+    assert got["aud1"].width == 8000 and got["aud1"].n_frames == 1600
+    # unknown format still raises through the job
+    bad = spark.createDataFrame(
+        [("vid1", "video", bytearray(b"\x00\x00\x00 ftypmp42xx"),
+          "video/mp4")],
+        "asset_id string, kind string, payload binary, mime string")
+    with pytest.raises(Exception, match="NotImplementedError|stdlib"):
+        extract_features(bad, decoder="real").collect()
