@@ -266,8 +266,14 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = emb.select("vec_id", "embedding").unionByName(
         emb.select((F.col("vec_id") + 10000).alias("vec_id"),
                    "embedding"))
+    # 2 bands x 2^10 buckets: expected bucket size N/1024 — at the
+    # bench's 20k-vector doubled corpus ~20 per bucket, so the
+    # per-band self-join stays near-linear; identical vectors collide
+    # in every band regardless of plane count (oracle unchanged)
+    dim = len(emb.select("embedding").head()[0])
     pairs = embedding_near_dup_pairs(both, threshold=0.999,
-                                     bands=2, planes_per_band=4)
+                                     bands=2, planes_per_band=10,
+                                     dim=dim)
     return pairs.select("id_a", "id_b",
                         F.round("score", 4).alias("score"))
 
@@ -289,6 +295,21 @@ def q_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allx.select("url", "kind", "subj", "pred", "obj",
                        "obj_is_literal", "obj_datatype", "obj_lang",
                        "code", "text", "n_triples")
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN — bucket equi-join on deterministic
+    md5-derived plane signs (precomputed literal arrays, dim=64);
+    mirrored exactly by oracle._lsh_topk_sql."""
+    from rdfa_spark.functions.similarity import lsh_cosine_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0) \
+                 .select(F.col("vec_id").alias("query_id"), "embedding")
+    top = lsh_cosine_topk(emb, queries, k=10, n_planes=6, dim=64)
+    return top.select("query_id",
+                      F.col("rank").cast("bigint").alias("rank"),
+                      "neighbor_id",
+                      F.round("score", 4).alias("score"))
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -338,6 +359,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_band_pairs": q_minhash_band_pairs,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "event_sessions": q_event_sessions,
         "revenue_by_nation": q_revenue_by_nation,
         "embedding_near_dup": q_embedding_near_dup,
@@ -366,6 +388,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_band_pairs": oracle.MINHASH_BAND_PAIRS_SQL,
         "ann_topk": oracle.ANN_TOPK_SQL,
         "ann_ivf_topk": oracle.ANN_IVF_TOPK_SQL,
+        "ann_lsh_topk": oracle._lsh_topk_sql(),
         "simhash_signature": oracle.SIMHASH_SIGNATURE_SQL,
         "event_sessions": oracle.EVENT_SESSIONS_SQL,
         "revenue_by_nation": oracle.REVENUE_BY_NATION_SQL,

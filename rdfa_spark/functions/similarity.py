@@ -70,11 +70,42 @@ def _plane_sign(plane: int, dim: Column) -> Column:
     return F.when(bit == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
 
 
+def _plane_signs_py(plane: int, dim: int) -> list[float]:
+    """Driver-side mirror of ``_plane_sign`` — same md5 formula, so
+    the literal-array fast path below is bit-identical to the
+    expression path."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"{plane}:{i}".encode()).hexdigest()
+        out.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+    return out
+
+
 def lsh_signature(vec: Column, n_planes: int = 12,
-                  plane_offset: int = 0) -> Column:
+                  plane_offset: int = 0,
+                  dim: int | None = None) -> Column:
     """n-bit bucket signature: sign of <v, r_p> per plane, as a bit
     string.  ``plane_offset`` selects an independent plane family so
-    multi-band constructions can derive per-band signatures."""
+    multi-band constructions can derive per-band signatures.
+
+    When ``dim`` is known, the (data-independent) plane signs are
+    precomputed driver-side and embedded as literal arrays — the
+    per-row work drops from n_planes·dim md5 calls to a zip_with
+    product fold, with bit-identical output (the signs come from the
+    same md5 formula)."""
+    if dim is not None:
+        bits = []
+        for p in range(n_planes):
+            signs = _plane_signs_py(plane_offset + p, dim)
+            sign_arr = F.array(*[F.lit(s) for s in signs])
+            dot = F.aggregate(
+                F.zip_with(vec, sign_arr, lambda v, s: v * s),
+                F.lit(0.0), lambda acc, x: acc + x)
+            bits.append(F.when(dot >= 0, F.lit("1"))
+                        .otherwise(F.lit("0")))
+        return F.concat(*bits)
     dims = F.transform(vec, lambda v, i: F.struct(
         v.alias("v"), i.alias("i")))
     bits = [
@@ -91,17 +122,20 @@ def lsh_signature(vec: Column, n_planes: int = 12,
 def lsh_cosine_topk(items: DataFrame, queries: DataFrame, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     query_id_col: str = "query_id",
-                    n_planes: int = 12) -> DataFrame:
+                    n_planes: int = 12,
+                    dim: int | None = None) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
     bucket.  At scale the bucket join replaces the O(N·Q) crossJoin
     with an equi-join on the signature; recall rises with fewer
     planes / multi-probe."""
     it = items.select(F.col(id_col).alias("neighbor_id"),
                       _as_double(vec_col).alias("_ivec")) \
-              .withColumn("sig", lsh_signature(F.col("_ivec"), n_planes))
+              .withColumn("sig", lsh_signature(F.col("_ivec"), n_planes,
+                                               dim=dim))
     q = queries.select(F.col(query_id_col),
                        _as_double(vec_col).alias("_qvec")) \
-               .withColumn("sig", lsh_signature(F.col("_qvec"), n_planes))
+               .withColumn("sig", lsh_signature(F.col("_qvec"), n_planes,
+                                                dim=dim))
     scored = (it.join(F.broadcast(q), "sig")
               .filter(F.col("neighbor_id") != F.col(query_id_col))
               .select(query_id_col, "neighbor_id",
@@ -171,7 +205,8 @@ def embedding_near_dup_pairs(items: DataFrame, threshold: float = 0.95,
                              vec_col: str = "embedding",
                              bands: int = 4,
                              planes_per_band: int = 8,
-                             max_bucket: int | None = None) -> DataFrame:
+                             max_bucket: int | None = None,
+                             dim: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-band
     hyperplane-LSH (never all-pairs at scale).
 
@@ -193,7 +228,8 @@ def embedding_near_dup_pairs(items: DataFrame, threshold: float = 0.95,
     band_arr = F.array(*[
         F.struct(F.lit(bnd).alias("band_id"),
                  lsh_signature(F.col("_v"), planes_per_band,
-                               plane_offset=bnd * planes_per_band)
+                               plane_offset=bnd * planes_per_band,
+                               dim=dim)
                  .alias("sig"))
         for bnd in range(bands)])
     banded = (it.select(id_col, "_v", F.explode(band_arr).alias("b"))
@@ -209,14 +245,14 @@ def embedding_near_dup_pairs(items: DataFrame, threshold: float = 0.95,
     # plane arithmetic on both sides otherwise
     banded = banded.localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
+    # score inside the bucket join and threshold BEFORE the pair
+    # dedup: the dedup shuffle then carries only surviving near-dup
+    # pairs (3 narrow columns), not every candidate with two vectors
     cand = (a.join(b, ["band_id", "sig"])
             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"),
-                    F.col("a._v").alias("_va"),
-                    F.col("b._v").alias("_vb"))
-            .dropDuplicates(["id_a", "id_b"]))
-    return (cand.select("id_a", "id_b",
-                        cosine(F.col("_va"), F.col("_vb"))
-                        .alias("score"))
+                    cosine(F.col("a._v"), F.col("b._v"))
+                    .alias("score"))
             .filter(F.col("score") >= threshold))
+    return cand.dropDuplicates(["id_a", "id_b"])

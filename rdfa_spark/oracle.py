@@ -391,6 +391,52 @@ def _cos(a: str, b: str) -> str:
     return f"({dot} / (sqrt({na}) * sqrt({nb})))"
 
 
+# Hyperplane-LSH ANN: the same deterministic md5-derived plane signs
+# as similarity._plane_signs_py, embedded as literal arrays; bucket =
+# concat of sign bits; candidates restricted to the query's bucket;
+# mirror of lsh_cosine_topk(n_planes=6, dim=64, k=10).
+def _lsh_topk_sql(n_planes: int = 6, dim: int = 64,
+                  k: int = 10) -> str:
+    from .functions.similarity import _plane_signs_py
+
+    def sig(col: str) -> str:
+        bits = []
+        for p in range(n_planes):
+            arr = ", ".join(str(s) for s in _plane_signs_py(p, dim))
+            dot = (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                   f"list_transform(list_zip({col}, [{arr}]), "
+                   f"x -> x[1] * x[2])), (a, b) -> a + b)")
+            bits.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
+        return " || ".join(bits)
+
+    return f"""
+WITH it AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS iv
+  FROM embeddings
+), its AS (
+  SELECT neighbor_id, iv, {sig('iv')} AS sig FROM it
+), q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 50 = 0
+), qs AS (
+  SELECT query_id, qv, {sig('qv')} AS sig FROM q
+), cand AS (
+  SELECT query_id, neighbor_id, {_cos('iv', 'qv')} AS score
+  FROM its JOIN qs USING (sig)
+  WHERE neighbor_id <> query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC)
+           AS rank
+  FROM cand
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       round(score, 4) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
 # IVF ANN: deterministic centroids (first 16 vectors by id), argmax
 # cell assignment, nprobe=4 query probing, exact rerank — mirror of
 # rdfa_spark.functions.similarity.ivf_cosine_topk(n_centroids=16,
