@@ -184,6 +184,20 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   "id", "text")
 
 
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup dedup pipeline: minhash -> banded LSH candidates
+    -> exact 3-gram Jaccard verification on candidates only (never
+    all-pairs); mirrored end-to-end by oracle._dedup_minhash_sql."""
+    from rdfa_spark.pipeline.dedup import minhash_dedup_pairs
+    pairs = minhash_dedup_pairs(_dup_corpus(spark, sf_dir), "id",
+                                "text", n=3, num_hashes=32, bands=8,
+                                jaccard_threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b",
+        F.floor(F.col("jaccard") * 1000).cast("bigint")
+         .alias("jaccard_pm"))
+
+
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(_documents(spark, sf_dir), "doc_id",
                              "text", n=3, num_hashes=32)
@@ -355,6 +369,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "quality_score": q_quality,
         "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
         "minhash_signature": q_minhash_signature,
         "minhash_band_pairs": q_minhash_band_pairs,
         "ann_topk": q_ann_topk,
@@ -384,6 +399,7 @@ def oracle_sql() -> dict[str, str]:
         "language_id": oracle.langid_sql(),
         "quality_score": oracle.quality_sql(),
         "dedup_exact": oracle.DEDUP_EXACT_SQL,
+        "dedup_minhash": oracle._dedup_minhash_sql(),
         "minhash_signature": oracle.MINHASH_SIGNATURE_SQL,
         "minhash_band_pairs": oracle.MINHASH_BAND_PAIRS_SQL,
         "ann_topk": oracle.ANN_TOPK_SQL,

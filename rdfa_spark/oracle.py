@@ -281,6 +281,68 @@ SELECT md5(text) AS fingerprint,
 FROM corpus GROUP BY md5(text) HAVING count(*) > 1
 """
 
+
+# Full near-dup dedup pipeline over the dup corpus: minhash -> banded
+# LSH candidates -> exact 3-gram Jaccard verification (mirror of
+# pipeline.dedup.minhash_dedup_pairs with n=3, num_hashes=32,
+# bands=8, threshold=0.5); jaccard reported as floor(j*1000) so the
+# cross-engine hash compares integers.
+def _dedup_minhash_sql() -> str:
+    from .pipeline.linking import MINHASH_PRIME, minhash_params
+    params = minhash_params(32)
+    a_list = ", ".join(str(a) for a, _ in params)
+    b_list = ", ".join(str(b) for _, b in params)
+    return DUP_CORPUS_CTE + f""",
+tok AS (
+  SELECT id, string_split_regex(lower(text), '\\s+') AS toks
+  FROM corpus
+), sh AS (
+  SELECT id,
+         list_distinct(list_transform(
+             range(0, greatest(len(toks) - 3, 0) + 1),
+             j -> array_to_string(list_slice(toks, j + 1, j + 3), ' ')))
+           AS shingles
+  FROM tok
+), vals AS (
+  SELECT id,
+         list_transform(shingles,
+             s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
+                  % {MINHASH_PRIME}) AS vs
+  FROM sh
+), mh AS (
+  SELECT id,
+         list_transform(range(0, 32), i ->
+             list_min(list_transform(vs, v ->
+                 (([{a_list}])[i + 1] * v + ([{b_list}])[i + 1])
+                 % {MINHASH_PRIME})))
+           AS minhash
+  FROM vals
+), banded AS (
+  SELECT id, b.b AS band_id,
+         md5(array_to_string(list_slice(minhash, b.b * 4 + 1,
+                                        b.b * 4 + 4), '|'))
+           AS band_hash
+  FROM mh, (SELECT unnest(range(0, 8)) AS b) b
+), cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM banded x JOIN banded y USING (band_id, band_hash)
+  WHERE x.id < y.id
+), verified AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_filter(sa.shingles,
+                              s -> list_contains(sb.shingles, s)))
+              AS DOUBLE)
+         / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+           AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.id = c.id_a
+  JOIN sh sb ON sb.id = c.id_b
+)
+SELECT id_a, id_b,
+       CAST(floor(jaccard * 1000) AS BIGINT) AS jaccard_pm
+FROM verified WHERE jaccard >= 0.5
+"""
+
 # MinHash signatures: 3-word shingles, universal-hash minima over one
 # md5 per shingle — byte-identical mirror of
 # rdfa_spark.pipeline.linking.with_minhash.

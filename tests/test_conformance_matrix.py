@@ -609,6 +609,100 @@ case("xmlbase-honored-xml/xml+1.1", "xml host honors xml:base",
      [T("http://other.example/dir/rel", DC + "title", "A", True)])
 
 # ---------------------------------------------------------------------------
+# 11. Other hosts: atom / svg / datarss / html32 + version guessing
+# ---------------------------------------------------------------------------
+ATOM_NS = "http://www.w3.org/2005/Atom"
+IANA = "http://www.iana.org/assignments/relation/"
+
+case("atom-entry-bnode/atom+1.1", "atom <entry> establishes a bnode "
+     "subject for its RDFa descendants",
+     "atom", "1.1",
+     f'<feed xmlns="{ATOM_NS}" xmlns:dc="{DC}">'
+     '<entry><title property="dc:title">T</title></entry></feed>',
+     [T("?e", DC + "title", "T", True)])
+case("atom-rel-iana/atom+1.1", "bare @rel tokens use the IANA "
+     "link-relation vocabulary (atom host default vocab)",
+     "atom", "1.1",
+     f'<feed xmlns="{ATOM_NS}">'
+     '<link rel="self" href="http://x.org/f.atom"/></feed>',
+     [T(B, IANA + "self", "http://x.org/f.atom")])
+case("svg-xmlbase/svg+1.1", "svg host honors xml:base (xml_base=2)",
+     "svg", "1.1",
+     f'<svg xmlns="http://www.w3.org/2000/svg" xmlns:dc="{DC}" '
+     'xml:base="http://other.example/dir/">'
+     '<desc about="rel" property="dc:title">A</desc></svg>',
+     [T("http://other.example/dir/rel", DC + "title", "A", True)])
+case("html32-xmllang-ignored/html32+1.1", "pre-HTML5 hosts ignore "
+     "xml:lang; @lang wins (reference wilful position on 0256)",
+     "html32", "1.1",
+     f'<html xmlns:dc="{DC}"><body><p about="#s" xml:lang="de" '
+     'lang="fr" property="dc:title">A</p></body></html>',
+     [T(B + "#s", DC + "title", "A", True, None, "fr")])
+case("version-guess-downgrade/xhtml+guess", "@version='XHTML+RDFa "
+     "1.0' downgrades guess-mode to 1.0 rules (@prefix ignored)",
+     "xhtml", "guess",
+     '<html xmlns="http://www.w3.org/1999/xhtml" '
+     f'version="XHTML+RDFa 1.0" xmlns:dc="{DC}"><body>'
+     '<div prefix="po: http://po.example/">'
+     '<p about="#s" property="po:x">A</p>'
+     '<p about="#s" property="dc:title">B</p></div></body></html>',
+     [T(B + "#s", DC + "title", "B", True)],
+     absent=[T(B + "#s", "http://po.example/x", "A", True)])
+case("version-guess-11/xhtml+guess", "no @version -> 1.1 rules "
+     "(@prefix honored)",
+     "xhtml", "guess",
+     '<html xmlns="http://www.w3.org/1999/xhtml"><body>'
+     '<div prefix="po: http://po.example/">'
+     '<p about="#s" property="po:x">A</p></div></body></html>',
+     [T(B + "#s", "http://po.example/x", "A", True)])
+
+# ---------------------------------------------------------------------------
+# 12. Named-graph extension (KjetilK, Parser.pm:929-957)
+# ---------------------------------------------------------------------------
+case("graph-id/xhtml+1.1", "@graph with graph_type=id: graph IRI is "
+     "base#value, scoped to the subtree",
+     "xhtml", "1.1",
+     xhtml('<div graph="g1"><p about="#s" property="dc:title">A</p>'
+           '</div><p about="#s" property="dc:title">B</p>'),
+     opts=dict(graph=1, graph_type="id"),
+     expect=[T(B + "#s", DC + "title", "A", True)])
+case("graph-about/xhtml+1.1", "@graph with graph_type=about expands "
+     "as CURIE/URI",
+     "xhtml", "1.1",
+     xhtml('<div graph="[ex:g]"><p about="#s" property="dc:title">A'
+           '</p></div>'),
+     opts=dict(graph=1, graph_type="about"),
+     expect=[T(B + "#s", DC + "title", "A", True)])
+
+
+def test_graph_values_land_in_graph_column():
+    cfg = make_config("xhtml", "1.1", graph=1, graph_type="id")
+    w = parse_rdfa(xhtml('<div graph="g1"><p about="#s" '
+                         'property="dc:title">A</p></div>'), B, cfg)
+    hits = [t for t in w.triples if t.pred == DC + "title"]
+    assert hits and hits[0].graph == B + "#g1"
+
+
+# ---------------------------------------------------------------------------
+# 13. XML-literal recursion difference 1.0 vs 1.1
+# ---------------------------------------------------------------------------
+case("xmllit-norecurse-10/xhtml+1.0", "1.0: XMLLiteral content is "
+     "NOT recursed into (inner @property produces no extra triple)",
+     "xhtml", "1.0",
+     xhtml('<p about="#s" property="dc:title">A'
+           '<b property="dc:creator">M</b></p>'),
+     [T(B + "#s", DC + "title", None, True, RDF + "XMLLiteral")],
+     absent=[T(None, DC + "creator", "M", True)])
+case("xmllit-recurse-11/xhtml+1.1", "1.1: explicit XMLLiteral still "
+     "recurses into children",
+     "xhtml", "1.1",
+     xhtml('<p about="#s" property="dc:title" '
+           f'datatype="rdf:XMLLiteral" xmlns:rdf="{RDF}">A'
+           '<b property="dc:creator">M</b></p>'),
+     [T(B + "#s", DC + "title", None, True, RDF + "XMLLiteral"),
+      T(B + "#s", DC + "creator", "M", True)])
+
+# ---------------------------------------------------------------------------
 # run the matrix
 # ---------------------------------------------------------------------------
 

@@ -51,6 +51,7 @@ def _compare(spark, sf_dir, name):
     "rdfa_errors", "og_collect", "extract_all",
     "entity_mentions", "entity_canonical", "cc_chain", "token_stats",
     "doc_fingerprint", "language_id", "quality_score", "dedup_exact",
+    "dedup_minhash",
     "minhash_signature", "minhash_band_pairs", "ann_topk",
     "ann_ivf_topk", "ann_lsh_topk", "simhash_signature",
     "event_sessions", "revenue_by_nation", "embedding_near_dup",
