@@ -200,6 +200,18 @@ def main() -> None:
     spark = get_spark("bench_queries", cpus=CPUS,
                       shuffle_partitions=2 * CPUS)
     try:
+        # warm python workers (fork + imports) so the FIRST query's
+        # timing reflects the operator, not ~5-8 s of worker startup
+        import pandas as pd
+
+        def _warm(it):
+            import rdfa_spark.core  # noqa: F401
+            for _ in it:
+                yield pd.DataFrame({"x": [1]})
+
+        spark.range(0, 4 * CPUS, 1, 4 * CPUS) \
+             .mapInPandas(_warm, "x long").count()
+
         queries = entry_mod.queries()
         for name in ["rdfa_triples", "extract_all", "rdfa_og_title",
                      "rdfa_pred_counts", "entity_canonical",
