@@ -141,3 +141,53 @@ def test_write_turtle_roundtrip(spark, sf_dir, tmp_path):
     expanded = sorted(expand(l) for l in data_lines)
     nt = sorted(r.value for r in ntriples_lines(triples).collect())
     assert expanded == nt
+
+
+def test_stateful_sessionization_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization over a bounded stream
+    reproduces the batch window-function sessions exactly (final
+    sessions close via event-time timeout as the watermark passes)."""
+    import time
+    from rdfa_spark.streaming.stateful import sessionize_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = 1_700_000_000
+    rows = []
+    # user 1: two sessions (gap > 30 min), user 2: one session
+    for i, off in enumerate([0, 60, 120, 5000, 5060]):
+        rows.append((1, i, base + off))
+    for i, off in enumerate([0, 1700]):
+        rows.append((2, 100 + i, base + off))
+    src = tmp_path / "events_stream"
+    src.mkdir()
+
+    def write_file(name, data):
+        (spark.createDataFrame(data, "user_id long, event_id long, "
+                               "sec long")
+         .select("user_id", "event_id",
+                 F.col("sec").cast("timestamp").alias("ts"))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(str(src / name)))
+        time.sleep(1.1)  # distinct mtimes -> stable trigger order
+
+    write_file("f1", rows)
+    # two sentinel files push the watermark past every timeout
+    write_file("f2", [(999, 0, base + 10 * 86400)])
+    write_file("f3", [(999, 1, base + 20 * 86400)])
+
+    stream = (spark.readStream
+              .schema("user_id long, event_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{src}/*"))
+    q = (sessionize_stream(stream)
+         .writeStream.format("memory").queryName("sess_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.user_id, r.session_id, r.n_events, r.start_sec,
+            r.end_sec)
+           for r in spark.sql("SELECT * FROM sess_out").collect()
+           if r.user_id != 999}
+    want = {(1, 1, 3, base, base + 120),
+            (1, 2, 2, base + 5000, base + 5060),
+            (2, 1, 2, base, base + 1700)}
+    assert got == want
