@@ -116,12 +116,17 @@ def simhash64(df: DataFrame, id_col: str, text_col: str,
 
 def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
                            max_hamming: int = 3,
-                           block_bits: int = 16) -> DataFrame:
+                           block_bits: int = 16,
+                           max_block: int | None = None) -> DataFrame:
     """SimHash near-dup: block on each 16-bit word of the signature (a
     pair within Hamming distance 3 must agree on at least one of 4
     words — pigeonhole), then verify Hamming distance on candidates
     only.  Join is an equi-join on (word_id, word) — shuffled hash
-    join with AQE skew handling."""
+    join with AQE skew handling.
+
+    ``max_block`` drops word-blocks above the cap (identical-content
+    clusters share every block; exact dedup handles those in one
+    groupBy instead of ~K²/2 pairwise checks per block)."""
     sh = simhash64(df, id_col, text_col).select(id_col, "simhash")
     n_words = 64 // block_bits
     words = F.expr(
@@ -131,6 +136,13 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     blocked = sh.select(id_col, "simhash",
                         F.explode(words).alias("b")) \
                 .select(id_col, "simhash", "b.word_id", "b.word")
+    if max_block is not None:
+        sizes = blocked.groupBy("word_id", "word").agg(
+            F.count("*").alias("_bn"))
+        blocked = blocked.join(
+            sizes.filter(F.col("_bn") <= max_block)
+                 .select("word_id", "word"),
+            ["word_id", "word"])
     a, b = blocked.alias("a"), blocked.alias("b")
     cand = (a.join(b, ["word_id", "word"])
             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

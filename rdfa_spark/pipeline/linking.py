@@ -207,10 +207,19 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 def lsh_candidate_pairs(df: DataFrame, id_col: str,
                         text_col: str, n: int = 3,
                         num_hashes: int = 32,
-                        bands: int = 8) -> DataFrame:
+                        bands: int = 8,
+                        max_bucket: int | None = None) -> DataFrame:
     """MinHash-LSH near-duplicate candidates: shingle -> minhash ->
     band -> bucket equi-join.  rows/bands = num_hashes // bands
-    signatures per band; a pair collides if any band matches."""
+    signatures per band; a pair collides if any band matches.
+
+    ``max_bucket`` caps band-bucket membership: a cluster of K
+    byte-identical documents shares EVERY band bucket and would emit
+    ~K²/2 candidate pairs per band — at crawl scale boilerplate
+    clusters reach millions.  Buckets above the cap are dropped here;
+    run exact dedup (``exact_duplicate_groups``) first, which handles
+    identical content in one groupBy.
+    """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     band_arr = F.transform(
@@ -227,6 +236,13 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str,
     # recompute the whole minhash pipeline on both sides (at cluster
     # scale this is a persisted signatures table)
     banded = banded.localCheckpoint(eager=False)
+    if max_bucket is not None:
+        sizes = banded.groupBy("band_id", "band_hash").agg(
+            F.count("*").alias("_bn"))
+        banded = banded.join(
+            sizes.filter(F.col("_bn") <= max_bucket)
+                 .select("band_id", "band_hash"),
+            ["band_id", "band_hash"])
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, ["band_id", "band_hash"])
             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

@@ -231,3 +231,27 @@ def test_cc_reliable_checkpoint(spark, tmp_path):
     assert got == _union_find(edges)
     import os
     assert any(files for _, _, files in os.walk(ckpt))  # files landed
+
+
+def test_lsh_and_simhash_bucket_caps(spark):
+    """Mass-duplicate clusters share every band/word bucket; the caps
+    drop those buckets so the self-join stays bounded, while distinct
+    near-dups still pair."""
+    from rdfa_spark.pipeline.linking import lsh_candidate_pairs
+    boiler = "exact same boilerplate text repeated " * 4
+    base = ("the quick brown fox jumps over the lazy dog and runs "
+            "far away into the deep dark forest tonight").split()
+    rows = [(i, boiler) for i in range(60)]          # identical cluster
+    v = list(base)
+    rows += [(100, " ".join(base)), (101, " ".join(v[:-1] + ["tok"]))]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    capped = lsh_candidate_pairs(df, "id", "text", max_bucket=20)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert all(a >= 100 for a, _ in got)      # boilerplate cluster gone
+    assert (100, 101) in got                  # real near-dup survives
+
+    sim = simhash_near_dup_pairs(df, "id", "text", max_hamming=16,
+                                 max_block=20)
+    got2 = {(r.id_a, r.id_b) for r in sim.collect()}
+    assert all(a >= 100 for a, _ in got2)
+    assert (100, 101) in got2
