@@ -20,6 +20,16 @@ def get_spark(app_name: str = "rdfa_spark",
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
     n_shuffle = shuffle_partitions or int(
         os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    # When the session is confined to N cores (taskset / cgroup), the
+    # JVM still sees the whole box and sizes GC/netty/fork-join pools
+    # for os.cpu_count() — oversubscription that real cluster
+    # managers (YARN/k8s) prevent by setting the container cpu count.
+    # Mirror that here so a local[N] "executor" behaves like one.
+    java_opts = ""
+    try:
+        java_opts = f"-XX:ActiveProcessorCount={int(cpus)}"
+    except (TypeError, ValueError):
+        pass
     b = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -38,6 +48,8 @@ def get_spark(app_name: str = "rdfa_spark",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if java_opts:
+        b = b.config("spark.driver.extraJavaOptions", java_opts)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

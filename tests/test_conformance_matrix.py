@@ -608,6 +608,37 @@ case("xmlbase-honored-xml/xml+1.1", "xml host honors xml:base",
      '<item about="rel" property="dc:title">A</item></root>',
      [T("http://other.example/dir/rel", DC + "title", "A", True)])
 
+case("meta-in-head/xhtml+1.1", "<meta property content> in head: "
+     "subject is the base",
+     "xhtml", "1.1",
+     f'<html {XH} xmlns:dc="{DC}"><head>'
+     '<meta property="dc:creator" content="M"/><title>t</title>'
+     '</head><body/></html>',
+     [T(B, DC + "creator", "M", True)])
+case("empty-rel-resource/xhtml+1.1", "@rel with no valid tokens "
+     "emits nothing but @resource still sets the children's subject",
+     "xhtml", "1.1",
+     xhtml('<div rel="" resource="#o"><p property="dc:title">A</p>'
+           '</div>'),
+     [T(B + "#o", DC + "title", "A", True)],
+     absent=[T(B, None, B + "#o")])
+case("typeof-content/xhtml+1.1", "@typeof+@property+@content: "
+     "literal attaches to the typed bnode subject",
+     "xhtml", "1.1",
+     xhtml('<p typeof="foaf:Person" property="foaf:name" '
+           'content="M">x</p>'),
+     [T("?b", RDF + "type", FOAF + "Person"),
+      T("?b", FOAF + "name", "M", True)])
+case("rel-license-term/xhtml+1.1", "bare 'license' term on <a>",
+     "xhtml", "1.1",
+     xhtml('<a rel="license" href="l">l</a>'),
+     [T(B, XHV + "license", "http://example.com/l")])
+case("inlist-empty-nil/xhtml+1.1", "@rel+@inlist with no members "
+     "asserts the empty list rdf:nil",
+     "xhtml", "1.1",
+     xhtml('<div about="#s" rel="dc:subject" inlist="">x</div>'),
+     [T(B + "#s", DC + "subject", RDF + "nil")])
+
 # ---------------------------------------------------------------------------
 # 11. Other hosts: atom / svg / datarss / html32 + version guessing
 # ---------------------------------------------------------------------------
