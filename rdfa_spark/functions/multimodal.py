@@ -83,6 +83,56 @@ def extract_features(assets: DataFrame,
                  .mapInPandas(batches, FEATURE_SCHEMA)
 
 
+THUMBNAIL_SCHEMA = StructType([
+    StructField("asset_id", StringType(), False),
+    StructField("thumb_w", IntegerType(), True),
+    StructField("thumb_h", IntegerType(), True),
+    StructField("thumb", ArrayType(FloatType()), True),  # row-major
+])
+
+
+def resize_images(assets: DataFrame, out_w: int = 8, out_h: int = 8,
+                  decoder: str = "fake") -> DataFrame:
+    """Image resize stage: decode -> nearest-neighbour downscale ->
+    row-major luminance thumbnail (the embedding-ready small image).
+
+    ``decoder='real'`` uses the stdlib PNG pixel decoder
+    (codecs.decode_png + resize_gray); non-PNG payloads are skipped
+    (dims-only formats have no pixels to resize).  ``'fake'`` emits a
+    deterministic md5-derived thumbnail for any payload, exercising
+    the identical Spark plumbing."""
+
+    def batches(it: Iterator[pd.DataFrame]):
+        from .codecs import decode_png, resize_gray, sniff_format
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = r.payload
+                if payload is None or r.kind != "image":
+                    continue
+                if isinstance(payload, str):
+                    payload = payload.encode("utf-8")
+                payload = bytes(payload)
+                if decoder == "fake":
+                    h = hashlib.md5(payload).digest()
+                    thumb = [((h[(x + y) % 16] * 17 + x * out_h + y)
+                              % 255) / 255.0
+                             for y in range(out_h)
+                             for x in range(out_w)]
+                else:
+                    if sniff_format(payload) != "png":
+                        continue
+                    w, hgt, gray = decode_png(payload)
+                    small = resize_gray(gray, w, hgt, out_w, out_h)
+                    thumb = [v for row in small for v in row]
+                rows.append((r.asset_id, out_w, out_h, thumb))
+            yield pd.DataFrame(rows, columns=[
+                f.name for f in THUMBNAIL_SCHEMA.fields])
+
+    return assets.select("asset_id", "kind", "payload") \
+                 .mapInPandas(batches, THUMBNAIL_SCHEMA)
+
+
 def frame_sample(features: DataFrame, every_n: int = 8) -> DataFrame:
     """Frame-sampling plan for video assets: one row per sampled
     frame index (pure relational explode — the heavy decode happens

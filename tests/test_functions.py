@@ -348,3 +348,27 @@ def test_odf_fuzz_never_crashes_extract(spark):
     # nothing threw
     assert x.count() + errs.filter(F.col("code") == "parse-failed") \
         .count() >= 10
+
+
+def test_resize_images_real_and_fake(spark):
+    """Resize stage: real PNG path downsizes decoded pixels; fake path
+    covers any payload with identical plumbing."""
+    from rdfa_spark.functions.multimodal import resize_images
+    png = _make_png([[(255, 255, 255)] * 8 if y < 4 else
+                     [(0, 0, 0)] * 8 for y in range(8)])
+    rows = [("img1", "image", bytearray(png), "image/png"),
+            ("aud1", "audio", bytearray(b"RIFFxxxxWAVE"), "audio/wav")]
+    df = spark.createDataFrame(
+        rows, "asset_id string, kind string, payload binary, "
+              "mime string")
+    real = {r.asset_id: r for r in
+            resize_images(df, out_w=4, out_h=4,
+                          decoder="real").collect()}
+    assert list(real) == ["img1"]          # audio skipped
+    t = real["img1"].thumb
+    assert len(t) == 16
+    assert all(v == 1.0 for v in t[:8])    # top half white
+    assert all(v == 0.0 for v in t[8:])    # bottom half black
+    fake = resize_images(df, out_w=4, out_h=4, decoder="fake")
+    got = {r.asset_id for r in fake.collect()}
+    assert got == {"img1"}                 # kind=='image' only
