@@ -608,6 +608,38 @@ case("xmlbase-honored-xml/xml+1.1", "xml host honors xml:base",
      '<item about="rel" property="dc:title">A</item></root>',
      [T("http://other.example/dir/rel", DC + "title", "A", True)])
 
+case("content-inherits-lang/xhtml+1.1", "@content literal carries "
+     "the inherited language",
+     "xhtml", "1.1",
+     xhtml('<div xml:lang="en" lang="en"><p about="#s" '
+           'property="dc:title" content="C">x</p></div>'),
+     [T(B + "#s", DC + "title", "C", True, None, "en")])
+case("rev-and-property/xhtml+1.1", "@rev+@property on one element: "
+     "reversed IRI triple plus literal property",
+     "xhtml", "1.1",
+     xhtml('<a about="#s" rev="dc:source" property="dc:title" '
+           'href="o.html">T</a>'),
+     [T("http://example.com/o.html", DC + "source", B + "#s"),
+      T(B + "#s", DC + "title", "T", True)])
+case("xml-host-generic/xml+1.1", "generic XML host: RDFa attributes "
+     "on arbitrary elements",
+     "xml", "1.1",
+     f'<data xmlns:dc="{DC}"><item about="#s" property="dc:title">A'
+     '</item></data>',
+     [T(B + "#s", DC + "title", "A", True)])
+case("about-on-root/xhtml+1.1", "@about on <html> overrides the "
+     "base subject for head descendants",
+     "xhtml", "1.1",
+     f'<html {XH} xmlns:dc="{DC}" about="http://x.org/r"><head>'
+     '<title property="dc:title">T</title></head><body/></html>',
+     [T("http://x.org/r", DC + "title", "T", True)])
+case("rel-resource-plus-property/xhtml+1.1", "@rel+@resource+"
+     "@property: IRI triple from rel AND literal from property",
+     "xhtml", "1.1",
+     xhtml('<p about="#s" rel="dc:relation" resource="#o" '
+           'property="dc:title">T</p>'),
+     [T(B + "#s", DC + "relation", B + "#o"),
+      T(B + "#s", DC + "title", "T", True)])
 case("meta-in-head/xhtml+1.1", "<meta property content> in head: "
      "subject is the base",
      "xhtml", "1.1",
