@@ -129,10 +129,15 @@ _TRIPLE_ARROW_NAMES = ["url", "subj", "pred", "obj", "obj_is_literal",
                        "obj_datatype", "obj_lang", "graph", "emit_seq"]
 
 
-def _walk_arrow_batches(batches, config: Config | None):
+def _walk_arrow_batches(batches, config: Config | None, fail_acc=None):
     """Arrow-native extraction: iterate RecordBatches, emit
     RecordBatches — no pandas materialization on either side of the
-    JVM<->Python channel (mapInArrow)."""
+    JVM<->Python channel (mapInArrow).
+
+    Parse failures emit no triple rows but are counted in
+    ``fail_acc`` (a Spark accumulator) — the no-silent-drops rule
+    holds on the fast path too.  Callers that need the failing urls
+    (not just a count) use ``extract_all`` + ``split_extracts``."""
     import pyarrow as pa
 
     for rb in batches:
@@ -150,6 +155,8 @@ def _walk_arrow_batches(batches, config: Config | None):
             try:
                 w = parse_rdfa(html, url, _config_for(html, config))
             except Exception:
+                if fail_acc is not None:
+                    fail_acc.add(1)
                 continue
             for seq, t in enumerate(w.triples):
                 c_url.append(url)
@@ -334,14 +341,23 @@ def extract_triples(pages: DataFrame, config: Config | None = None,
     ``dedup=True`` additionally enforces cross-document set semantics
     (the walker already dedups within a document, mirroring the
     reference's set-store A4) — a shuffle, so off by default.
+
+    Pages that fail to parse emit no triples but are never silently
+    lost: a Spark accumulator counts them, exposed as
+    ``result.parse_failures`` (read ``.value`` after an action).
+    Callers needing the failing urls themselves use ``extract_all``,
+    which materializes them as (kind='e', code='parse-failed') rows.
     """
     proj = pages.select("url", "html")
+    fail_acc = pages.sparkSession.sparkContext.accumulator(0)
     out = proj.mapInArrow(
-        lambda it: _walk_arrow_batches(it, config), TRIPLE_SCHEMA)
+        lambda it: _walk_arrow_batches(it, config, fail_acc),
+        TRIPLE_SCHEMA)
     if dedup:
         out = out.dropDuplicates(
             ["url", "subj", "pred", "obj", "obj_is_literal",
              "obj_datatype", "obj_lang", "graph"])
+    out.parse_failures = fail_acc
     return out
 
 

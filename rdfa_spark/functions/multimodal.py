@@ -56,8 +56,17 @@ def _fake_decode(payload: bytes, kind: str):
 
 
 def extract_features(assets: DataFrame,
-                     decoder: str = "fake") -> DataFrame:
-    """binary assets -> (dims, frame count, feature vector)."""
+                     decoder: str = "fake",
+                     on_unsupported: str = "raise") -> DataFrame:
+    """binary assets -> (dims, frame count, feature vector).
+
+    ``on_unsupported`` governs the real decoder's behaviour on
+    formats with no stdlib codec (MP4, WEBP, ...): ``"raise"`` keeps
+    the honest-stub failure; ``"skip"`` drops the row but counts it
+    in the ``result.skipped_assets`` accumulator — skipped work is
+    always measurable, never silent (the ``extract_all`` discipline).
+    Null payloads are counted under the same accumulator."""
+    skip_acc = assets.sparkSession.sparkContext.accumulator(0)
 
     def batches(it: Iterator[pd.DataFrame]):
         for pdf in it:
@@ -65,6 +74,7 @@ def extract_features(assets: DataFrame,
             for r in pdf.itertuples(index=False):
                 payload = r.payload
                 if payload is None:
+                    skip_acc.add(1)
                     continue
                 if isinstance(payload, str):
                     payload = payload.encode("utf-8")
@@ -73,14 +83,22 @@ def extract_features(assets: DataFrame,
                                                     r.kind)
                 else:
                     from .codecs import real_decode
-                    w, hgt, nf, feat = real_decode(bytes(payload),
-                                                   r.kind)
+                    try:
+                        w, hgt, nf, feat = real_decode(bytes(payload),
+                                                       r.kind)
+                    except NotImplementedError:
+                        if on_unsupported == "raise":
+                            raise
+                        skip_acc.add(1)
+                        continue
                 rows.append((r.asset_id, r.kind, w, hgt, nf, feat))
             yield pd.DataFrame(rows, columns=[
                 f.name for f in FEATURE_SCHEMA.fields])
 
-    return assets.select("asset_id", "kind", "payload") \
-                 .mapInPandas(batches, FEATURE_SCHEMA)
+    out = assets.select("asset_id", "kind", "payload") \
+                .mapInPandas(batches, FEATURE_SCHEMA)
+    out.skipped_assets = skip_acc
+    return out
 
 
 THUMBNAIL_SCHEMA = StructType([
@@ -98,9 +116,12 @@ def resize_images(assets: DataFrame, out_w: int = 8, out_h: int = 8,
 
     ``decoder='real'`` uses the stdlib PNG pixel decoder
     (codecs.decode_png + resize_gray); non-PNG payloads are skipped
-    (dims-only formats have no pixels to resize).  ``'fake'`` emits a
+    (dims-only formats have no pixels to resize) but counted in the
+    ``result.skipped_assets`` accumulator (read ``.value`` after an
+    action) — skips are measurable, never silent.  ``'fake'`` emits a
     deterministic md5-derived thumbnail for any payload, exercising
     the identical Spark plumbing."""
+    skip_acc = assets.sparkSession.sparkContext.accumulator(0)
 
     def batches(it: Iterator[pd.DataFrame]):
         from .codecs import decode_png, resize_gray, sniff_format
@@ -108,7 +129,11 @@ def resize_images(assets: DataFrame, out_w: int = 8, out_h: int = 8,
             rows = []
             for r in pdf.itertuples(index=False):
                 payload = r.payload
-                if payload is None or r.kind != "image":
+                if r.kind != "image":
+                    continue           # non-images are out of scope,
+                    # not "skipped work" — no metric
+                if payload is None:
+                    skip_acc.add(1)
                     continue
                 if isinstance(payload, str):
                     payload = payload.encode("utf-8")
@@ -121,16 +146,19 @@ def resize_images(assets: DataFrame, out_w: int = 8, out_h: int = 8,
                              for x in range(out_w)]
                 else:
                     if sniff_format(payload) != "png":
+                        skip_acc.add(1)
                         continue
                     w, hgt, gray = decode_png(payload)
                     small = resize_gray(gray, w, hgt, out_w, out_h)
-                    thumb = [v for row in small for v in row]
+                    thumb = [float(v) for row in small for v in row]
                 rows.append((r.asset_id, out_w, out_h, thumb))
             yield pd.DataFrame(rows, columns=[
                 f.name for f in THUMBNAIL_SCHEMA.fields])
 
-    return assets.select("asset_id", "kind", "payload") \
-                 .mapInPandas(batches, THUMBNAIL_SCHEMA)
+    out = assets.select("asset_id", "kind", "payload") \
+                .mapInPandas(batches, THUMBNAIL_SCHEMA)
+    out.skipped_assets = skip_acc
+    return out
 
 
 def frame_sample(features: DataFrame, every_n: int = 8) -> DataFrame:

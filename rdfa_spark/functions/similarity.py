@@ -205,7 +205,7 @@ def embedding_near_dup_pairs(items: DataFrame, threshold: float = 0.95,
                              vec_col: str = "embedding",
                              bands: int = 4,
                              planes_per_band: int = 8,
-                             max_bucket: int | None = None,
+                             max_bucket: int | None = 10_000,
                              dim: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-band
     hyperplane-LSH (never all-pairs at scale).
@@ -219,10 +219,12 @@ def embedding_near_dup_pairs(items: DataFrame, threshold: float = 0.95,
     bands win back), instead of the single fixed-signature variant
     whose buckets grow linearly with N.
 
-    ``max_bucket`` drops buckets with more members than the cap
-    (mass-duplicated boilerplate clusters; exact dedup handles those
-    far cheaper than pairwise scoring, which would emit ~size²/2
-    pairs per bucket).
+    ``max_bucket`` (ON by default) drops buckets with more members
+    than the cap (mass-duplicated boilerplate clusters; exact dedup
+    handles those far cheaper than pairwise scoring, which would emit
+    ~size²/2 pairs per bucket).  Dropped buckets are reported via
+    ``result.dropped_buckets`` (band_id, sig, n_members) — never a
+    silent truncation.
     """
     it = items.select(F.col(id_col), _as_double(vec_col).alias("_v"))
     band_arr = F.array(*[
@@ -234,9 +236,13 @@ def embedding_near_dup_pairs(items: DataFrame, threshold: float = 0.95,
         for bnd in range(bands)])
     banded = (it.select(id_col, "_v", F.explode(band_arr).alias("b"))
               .select(id_col, "_v", "b.band_id", "b.sig"))
+    dropped = None
     if max_bucket is not None:
         sizes = banded.groupBy("band_id", "sig").agg(
             F.count("*").alias("_bn"))
+        dropped = (sizes.filter(F.col("_bn") > max_bucket)
+                   .select("band_id", "sig",
+                           F.col("_bn").alias("n_members")))
         banded = banded.join(
             sizes.filter(F.col("_bn") <= max_bucket)
                  .select("band_id", "sig"),
@@ -255,4 +261,6 @@ def embedding_near_dup_pairs(items: DataFrame, threshold: float = 0.95,
                     cosine(F.col("a._v"), F.col("b._v"))
                     .alias("score"))
             .filter(F.col("score") >= threshold))
-    return cand.dropDuplicates(["id_a", "id_b"])
+    out = cand.dropDuplicates(["id_a", "id_b"])
+    out.dropped_buckets = dropped
+    return out

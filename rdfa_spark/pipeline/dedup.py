@@ -117,16 +117,19 @@ def simhash64(df: DataFrame, id_col: str, text_col: str,
 def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
                            max_hamming: int = 3,
                            block_bits: int = 16,
-                           max_block: int | None = None) -> DataFrame:
+                           max_block: int | None = 10_000) -> DataFrame:
     """SimHash near-dup: block on each 16-bit word of the signature (a
     pair within Hamming distance 3 must agree on at least one of 4
     words — pigeonhole), then verify Hamming distance on candidates
     only.  Join is an equi-join on (word_id, word) — shuffled hash
     join with AQE skew handling.
 
-    ``max_block`` drops word-blocks above the cap (identical-content
-    clusters share every block; exact dedup handles those in one
-    groupBy instead of ~K²/2 pairwise checks per block)."""
+    ``max_block`` (ON by default) drops word-blocks above the cap
+    (identical-content clusters share every block; exact dedup handles
+    those in one groupBy instead of ~K²/2 pairwise checks per block).
+    Dropped blocks are reported, never silent:
+    ``result.dropped_blocks`` is a DataFrame
+    (word_id, word, n_members) of every block the cap excluded."""
     sh = simhash64(df, id_col, text_col).select(id_col, "simhash")
     n_words = 64 // block_bits
     words = F.expr(
@@ -136,9 +139,13 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     blocked = sh.select(id_col, "simhash",
                         F.explode(words).alias("b")) \
                 .select(id_col, "simhash", "b.word_id", "b.word")
+    dropped = None
     if max_block is not None:
         sizes = blocked.groupBy("word_id", "word").agg(
             F.count("*").alias("_bn"))
+        dropped = (sizes.filter(F.col("_bn") > max_block)
+                   .select("word_id", "word",
+                           F.col("_bn").alias("n_members")))
         blocked = blocked.join(
             sizes.filter(F.col("_bn") <= max_block)
                  .select("word_id", "word"),
@@ -154,5 +161,7 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     hamming = F.expr("size(filter(zip_with(split(sh_a, '(?!^)'), "
                      "split(sh_b, '(?!^)'), (x, y) -> x <> y), "
                      "d -> d))")
-    return (cand.select("id_a", "id_b", hamming.alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming))
+    out = (cand.select("id_a", "id_b", hamming.alias("hamming"))
+           .filter(F.col("hamming") <= max_hamming))
+    out.dropped_blocks = dropped
+    return out

@@ -208,7 +208,7 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str,
                         text_col: str, n: int = 3,
                         num_hashes: int = 32,
                         bands: int = 8,
-                        max_bucket: int | None = None) -> DataFrame:
+                        max_bucket: int | None = 10_000) -> DataFrame:
     """MinHash-LSH near-duplicate candidates: shingle -> minhash ->
     band -> bucket equi-join.  rows/bands = num_hashes // bands
     signatures per band; a pair collides if any band matches.
@@ -216,9 +216,14 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str,
     ``max_bucket`` caps band-bucket membership: a cluster of K
     byte-identical documents shares EVERY band bucket and would emit
     ~K²/2 candidate pairs per band — at crawl scale boilerplate
-    clusters reach millions.  Buckets above the cap are dropped here;
-    run exact dedup (``exact_duplicate_groups``) first, which handles
-    identical content in one groupBy.
+    clusters reach millions.  The cap is ON by default (a cap-sized
+    bucket still admits ~5·10⁷ pairs — far above any honest near-dup
+    cluster); run exact dedup (``exact_duplicate_groups``) first,
+    which handles identical content in one groupBy.  Dropped buckets
+    are never silent: ``result.dropped_buckets`` is a DataFrame
+    (band_id, band_hash, n_members) of every bucket the cap excluded
+    — count it, log it, or route its members to exact dedup.
+    ``max_bucket=None`` disables the cap.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
@@ -236,19 +241,25 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str,
     # recompute the whole minhash pipeline on both sides (at cluster
     # scale this is a persisted signatures table)
     banded = banded.localCheckpoint(eager=False)
+    dropped = None
     if max_bucket is not None:
         sizes = banded.groupBy("band_id", "band_hash").agg(
             F.count("*").alias("_bn"))
+        dropped = (sizes.filter(F.col("_bn") > max_bucket)
+                   .select("band_id", "band_hash",
+                           F.col("_bn").alias("n_members")))
         banded = banded.join(
             sizes.filter(F.col("_bn") <= max_bucket)
                  .select("band_id", "band_hash"),
             ["band_id", "band_hash"])
     a, b = banded.alias("a"), banded.alias("b")
-    return (a.join(b, ["band_id", "band_hash"])
-            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"))
-            .distinct())
+    out = (a.join(b, ["band_id", "band_hash"])
+           .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+           .select(F.col(f"a.{id_col}").alias("id_a"),
+                   F.col(f"b.{id_col}").alias("id_b"))
+           .distinct())
+    out.dropped_buckets = dropped
+    return out
 
 
 def canonicalize(mentions: DataFrame,

@@ -258,8 +258,10 @@ def test_real_png_filters_roundtrip():
                 + chunk(b"IDAT", zlib.compress(bytes(out)))
                 + chunk(b"IEND", b""))
 
+    import numpy as np
     for ft in (1, 2, 3, 4):
-        assert decode_png(encode_filtered(ft))[2] == base, ft
+        assert np.array_equal(decode_png(encode_filtered(ft))[2],
+                              base), ft
 
 
 def test_real_wav_decode():
@@ -372,3 +374,29 @@ def test_resize_images_real_and_fake(spark):
     fake = resize_images(df, out_w=4, out_h=4, decoder="fake")
     got = {r.asset_id for r in fake.collect()}
     assert got == {"img1"}                 # kind=='image' only
+
+
+def test_multimodal_skip_metrics(spark):
+    """Real-decoder paths count what they can't process instead of
+    silently skipping (VERDICT r2 next-round #8)."""
+    from rdfa_spark.functions.multimodal import (extract_features,
+                                                 resize_images)
+    png = _make_png([[(9, 9, 9)] * 4] * 4)
+    rows = [("img1", "image", bytearray(png), "image/png"),
+            ("gif1", "image", bytearray(b"GIF89a\x02\x00\x02\x00xxx"),
+             "image/gif"),
+            ("vid1", "video", bytearray(b"\x00\x00\x00 ftypmp42"),
+             "video/mp4"),
+            ("nul1", "image", None, "image/png")]
+    df = spark.createDataFrame(
+        rows, "asset_id string, kind string, payload binary, "
+              "mime string")
+
+    rs = resize_images(df, out_w=2, out_h=2, decoder="real")
+    assert [r.asset_id for r in rs.collect()] == ["img1"]
+    assert rs.skipped_assets.value == 2      # gif (no pixels) + null
+
+    feats = extract_features(df, decoder="real", on_unsupported="skip")
+    got = {r.asset_id for r in feats.collect()}
+    assert got == {"img1", "gif1"}           # gif dims-only still decodes
+    assert feats.skipped_assets.value == 2   # mp4 + null payload
