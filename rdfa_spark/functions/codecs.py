@@ -18,7 +18,6 @@ no stdlib codec.
 
 from __future__ import annotations
 
-import array
 import io
 import math
 import struct
@@ -42,9 +41,45 @@ def sniff_format(payload: bytes) -> str:
     return "unknown"
 
 
+def _unfilter_scalar(line: bytearray, prev, filt: int, w: int,
+                     nch: int) -> bytearray:
+    """PNG Average/Paeth unfilter.  Both predictors read the already-
+    reconstructed LEFT pixel, a genuine sequential data dependency
+    along the scanline — no closed-form vectorization exists (libpng
+    runs these serially too), so they stay a per-byte loop.  Rows with
+    filters 0/1/2 (the common ones) take the numpy path in
+    ``decode_png``."""
+    stride = w * nch
+    if filt == 3:                     # Average
+        for i in range(stride):
+            a = line[i - nch] if i >= nch else 0
+            line[i] = (line[i] + ((a + prev[i]) >> 1)) & 255
+    else:                             # Paeth
+        for i in range(stride):
+            a = line[i - nch] if i >= nch else 0
+            b = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else \
+                (b if pb <= pc else c)
+            line[i] = (line[i] + pred) & 255
+    return line
+
+
 def decode_png(data: bytes):
-    """-> (width, height, gray) where gray is row-major luminance in
-    [0,1].  Supports 8-bit depth, color types 0/2/4/6, no interlace."""
+    """-> (width, height, gray) where gray is a (h, w) float64 numpy
+    array of row-major luminance in [0,1].  Supports 8-bit depth,
+    color types 0/2/4/6, no interlace.
+
+    Vectorized with numpy: Sub is a per-channel cumulative sum mod
+    256, Up a vector add, None a copy; the luminance conversion is one
+    integer matrix sum per image (exact: integer sums then a single
+    float64 divide, so results are deterministic across executors).
+    Average/Paeth rows fall back to the scalar loop (sequential
+    left-pixel dependency — see ``_unfilter_scalar``)."""
+    import numpy as np
+
     if data[:8] != PNG_MAGIC:
         raise ValueError("not a PNG")
     pos, idat = 8, []
@@ -72,73 +107,80 @@ def decode_png(data: bytes):
     nch = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(b"".join(idat))
     stride = w * nch
-    prev = bytearray(stride)
-    gray: list[list[float]] = []
-    pos = 0
-    for _ in range(h):
-        filt = raw[pos]
-        pos += 1
-        line = bytearray(raw[pos:pos + stride])
-        pos += stride
-        if filt == 1:                 # Sub
-            for i in range(nch, stride):
-                line[i] = (line[i] + line[i - nch]) & 255
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data truncated")
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = scan[:, 0]
+    out = np.empty((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        filt = int(filters[y])
+        line = scan[y, 1:].astype(np.int64)
+        if filt == 0:
+            rec = line
+        elif filt == 1:               # Sub: cumsum per channel mod 256
+            rec = (np.cumsum(line.reshape(w, nch), axis=0)
+                   .reshape(stride)) & 255
         elif filt == 2:               # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 255
-        elif filt == 3:               # Average
-            for i in range(stride):
-                a = line[i - nch] if i >= nch else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 255
-        elif filt == 4:               # Paeth
-            for i in range(stride):
-                a = line[i - nch] if i >= nch else 0
-                b = prev[i]
-                c = prev[i - nch] if i >= nch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else \
-                    (b if pb <= pc else c)
-                line[i] = (line[i] + pred) & 255
-        elif filt != 0:
-            raise ValueError(f"bad PNG filter {filt}")
-        prev = line
-        if color_type in (0, 4):
-            row = [line[x * nch] / 255.0 for x in range(w)]
+            rec = (line + prev) & 255
+        elif filt in (3, 4):          # Average / Paeth: scalar path
+            rec = np.frombuffer(
+                bytes(_unfilter_scalar(
+                    bytearray(scan[y, 1:].tobytes()),
+                    prev.astype(np.uint8), filt, w, nch)),
+                dtype=np.uint8).astype(np.int64)
         else:
-            row = [(line[x * nch] + line[x * nch + 1]
-                    + line[x * nch + 2]) / (3 * 255.0)
-                   for x in range(w)]
-        gray.append(row)
+            raise ValueError(f"bad PNG filter {filt}")
+        out[y] = rec
+        prev = rec
+    px = out.reshape(h, w, nch)
+    if color_type in (0, 4):
+        gray = px[:, :, 0] / 255.0
+    else:
+        gray = (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) / 765.0
     return w, h, gray
 
 
-def grid_feature(gray: list[list[float]], w: int, h: int,
-                 n: int = 4) -> list[float]:
+def grid_feature(gray, w: int, h: int, n: int = 4) -> list[float]:
     """n x n mean-luminance grid, row-major — a 16-dim (n=4) image
-    embedding that is deterministic and library-free."""
+    embedding that is deterministic and library-free.  One numpy
+    block-mean per cell (accepts a numpy plane or list-of-lists)."""
+    import numpy as np
+
+    g = np.asarray(gray, dtype=np.float64)
     feat = []
     for gy in range(n):
-        y0, y1 = gy * h // n, max((gy + 1) * h // n, gy * h // n + 1)
+        y0 = gy * h // n
+        y1 = max((gy + 1) * h // n, y0 + 1)
         for gx in range(n):
             x0 = gx * w // n
             x1 = max((gx + 1) * w // n, x0 + 1)
-            vals = [gray[y][x]
-                    for y in range(y0, min(y1, h))
-                    for x in range(x0, min(x1, w))]
-            feat.append(sum(vals) / len(vals) if vals else 0.0)
+            cell = g[y0:min(y1, h), x0:min(x1, w)]
+            feat.append(float(cell.sum() / cell.size)
+                        if cell.size else 0.0)
     return feat
 
 
-def resize_gray(gray: list[list[float]], w: int, h: int,
-                out_w: int, out_h: int) -> list[list[float]]:
-    """Nearest-neighbour resize of a decoded luminance plane."""
-    return [[gray[y * h // out_h][x * w // out_w]
-             for x in range(out_w)] for y in range(out_h)]
+def resize_gray(gray, w: int, h: int, out_w: int, out_h: int):
+    """Nearest-neighbour resize of a decoded luminance plane — one
+    numpy fancy-index gather; returns an (out_h, out_w) array."""
+    import numpy as np
+
+    g = np.asarray(gray, dtype=np.float64)
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return g[np.ix_(ys, xs)]
 
 
 def decode_wav(data: bytes):
-    """-> (n_channels, framerate, n_frames, rms16) for 8/16-bit PCM."""
+    """-> (n_channels, framerate, n_frames, rms16) for 8/16-bit PCM.
+
+    numpy throughout: samples via one frombuffer, each RMS bin as an
+    exact int64 sum of squares (bit-identical to the scalar
+    ``sum(s*s)`` — integer arithmetic) before the single float
+    sqrt/divide."""
+    import numpy as np
+
     wf = wave.open(io.BytesIO(data))
     nch = wf.getnchannels()
     width = wf.getsampwidth()
@@ -146,11 +188,11 @@ def decode_wav(data: bytes):
     n_frames = wf.getnframes()
     frames = wf.readframes(n_frames)
     if width == 2:
-        samples = array.array("h", frames)
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.int64)
         full = 32768.0
     elif width == 1:                  # unsigned 8-bit PCM
-        samples = array.array("b", bytes((b - 128) & 255
-                                         for b in frames))
+        samples = np.frombuffer(frames, dtype=np.uint8) \
+                    .astype(np.int64) - 128
         full = 128.0
     else:
         raise NotImplementedError(f"{8 * width}-bit PCM unsupported")
@@ -162,7 +204,7 @@ def decode_wav(data: bytes):
         if len(seg) == 0:
             rms.append(0.0)
         else:
-            rms.append(math.sqrt(sum(s * s for s in seg)
+            rms.append(math.sqrt(int((seg * seg).sum())
                                  / len(seg)) / full)
     return nch, framerate, n_frames, rms
 
