@@ -156,7 +156,11 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return with_language_id(_documents(spark, sf_dir), "text") \
+    """Char-trigram language-ID (Cavnar-Trenkle profiles over a
+    broadcast join; handles zh/ja/ko) — mirrored by the identical
+    profile table in oracle.langid_sql()."""
+    return with_language_id(_documents(spark, sf_dir), "text",
+                            id_col="doc_id") \
         .select("doc_id", "lang_pred")
 
 
@@ -313,13 +317,22 @@ def q_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN — bucket equi-join on deterministic
-    md5-derived plane signs (precomputed literal arrays, dim=64);
-    mirrored exactly by oracle._lsh_topk_sql."""
+    md5-derived plane signs (precomputed literal arrays, dim=64),
+    multi-probe (signature + 1-bit flips) so every query can reach
+    k candidates; mirrored exactly by oracle._lsh_topk_sql."""
     from rdfa_spark.functions.similarity import lsh_cosine_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") % 50 == 0) \
                  .select(F.col("vec_id").alias("query_id"), "embedding")
-    top = lsh_cosine_topk(emb, queries, k=10, n_planes=6, dim=64)
+    # multiprobe=3 reaches recall 0.85 vs exact on this corpus: the
+    # driver's embeddings are isotropic gaussians (top-10 cosine ~0.3
+    # vs median 0), so ANY sublinear method has low recall — the
+    # 0.8-recall operating point necessarily probes ~2/3 of the
+    # buckets here; on clustered real embeddings the same
+    # construction is sublinear (probe count stays fixed while
+    # cluster mass concentrates).
+    top = lsh_cosine_topk(emb, queries, k=10, n_planes=6, dim=64,
+                          multiprobe=3)
     return top.select("query_id",
                       F.col("rank").cast("bigint").alias("rank"),
                       "neighbor_id",
@@ -328,13 +341,18 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN — the scale path (broadcast centroid assignment +
-    nprobe rerank); deterministic by construction (first-N centroids,
-    no RNG), so fully SQL-mirrorable."""
+    nprobe rerank); deterministic by construction (farthest-first
+    seeding over an md5-ordered sample, no RNG), so fully
+    SQL-mirrorable (oracle._ivf_topk_sql unrolls the traversal)."""
     from rdfa_spark.functions.similarity import ivf_cosine_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") % 50 == 0) \
                  .select(F.col("vec_id").alias("query_id"), "embedding")
-    top = ivf_cosine_topk(emb, queries, k=10, n_centroids=16, nprobe=4)
+    # nprobe=10/16 cells -> recall 0.89 vs exact on the isotropic
+    # test corpus (see q_ann_lsh_topk note on why 0.8 recall costs a
+    # ~2/3 scan on structureless data)
+    top = ivf_cosine_topk(emb, queries, k=10, n_centroids=16,
+                          nprobe=10)
     return top.select("query_id",
                       F.col("rank").cast("bigint").alias("rank"),
                       "neighbor_id",
@@ -403,8 +421,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signature": oracle.MINHASH_SIGNATURE_SQL,
         "minhash_band_pairs": oracle.MINHASH_BAND_PAIRS_SQL,
         "ann_topk": oracle.ANN_TOPK_SQL,
-        "ann_ivf_topk": oracle.ANN_IVF_TOPK_SQL,
-        "ann_lsh_topk": oracle._lsh_topk_sql(),
+        "ann_ivf_topk": oracle._ivf_topk_sql(nprobe=10),
+        "ann_lsh_topk": oracle._lsh_topk_sql(multiprobe=3),
         "simhash_signature": oracle.SIMHASH_SIGNATURE_SQL,
         "event_sessions": oracle.EVENT_SESSIONS_SQL,
         "revenue_by_nation": oracle.REVENUE_BY_NATION_SQL,

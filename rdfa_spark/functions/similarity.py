@@ -119,15 +119,57 @@ def lsh_signature(vec: Column, n_planes: int = 12,
     return F.concat(*bits)
 
 
+def multiprobe_flips(n_planes: int, multiprobe: int) -> list[tuple]:
+    """Deterministic probe order: the exact signature first, then all
+    bit-flip combinations of size 1..multiprobe in positional order.
+    Shared by the Spark path and the DuckDB oracle generator."""
+    from itertools import combinations
+
+    flips: list[tuple] = [()]
+    for d in range(1, multiprobe + 1):
+        flips.extend(combinations(range(n_planes), d))
+    return flips
+
+
+def _probe_exprs(sig_col: Column, n_planes: int,
+                 multiprobe: int) -> list[Column]:
+    """One expression per probe signature: the original plus each
+    bit-flip combination (all positions are literals, so these fold
+    into plain substring/concat Catalyst expressions)."""
+    probes = []
+    for combo in multiprobe_flips(n_planes, multiprobe):
+        if not combo:
+            probes.append(sig_col)
+            continue
+        chars = []
+        for i in range(n_planes):
+            c = F.substring(sig_col, i + 1, 1)
+            if i in combo:
+                c = F.when(c == "1", F.lit("0")).otherwise(F.lit("1"))
+            chars.append(c)
+        probes.append(F.concat(*chars))
+    return probes
+
+
 def lsh_cosine_topk(items: DataFrame, queries: DataFrame, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     query_id_col: str = "query_id",
                     n_planes: int = 12,
-                    dim: int | None = None) -> DataFrame:
+                    dim: int | None = None,
+                    multiprobe: int = 1) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
-    bucket.  At scale the bucket join replaces the O(N·Q) crossJoin
-    with an equi-join on the signature; recall rises with fewer
-    planes / multi-probe."""
+    bucket(s).  At scale the bucket join replaces the O(N·Q)
+    crossJoin with an equi-join on the signature.
+
+    ``multiprobe`` probes the query's signature plus every bit-flip
+    combination up to that Hamming distance (1 + Σ C(n_planes, d)
+    buckets per query; default 1 → n_planes+1 probes), so queries in
+    sparse buckets can still reach k candidates instead of silently
+    returning fewer — the standard multi-probe LSH recall fix, and
+    deterministic (fixed probe order), so the DuckDB oracle mirrors
+    it bit-for-bit.  ``multiprobe=0`` restores single-bucket probing.
+    Probe signatures are all distinct, so no candidate dedup is
+    needed (an item lives in exactly one bucket)."""
     it = items.select(F.col(id_col).alias("neighbor_id"),
                       _as_double(vec_col).alias("_ivec")) \
               .withColumn("sig", lsh_signature(F.col("_ivec"), n_planes,
@@ -136,6 +178,11 @@ def lsh_cosine_topk(items: DataFrame, queries: DataFrame, k: int = 10,
                        _as_double(vec_col).alias("_qvec")) \
                .withColumn("sig", lsh_signature(F.col("_qvec"), n_planes,
                                                 dim=dim))
+    if multiprobe > 0:
+        probe_arr = F.array(*_probe_exprs(F.col("sig"), n_planes,
+                                          multiprobe))
+        q = q.select(query_id_col, "_qvec",
+                     F.explode(probe_arr).alias("sig"))
     scored = (it.join(F.broadcast(q), "sig")
               .filter(F.col("neighbor_id") != F.col(query_id_col))
               .select(query_id_col, "neighbor_id",
@@ -148,15 +195,73 @@ def lsh_cosine_topk(items: DataFrame, queries: DataFrame, k: int = 10,
             .select(query_id_col, "rank", "neighbor_id", "score"))
 
 
+def _fold_cosine(a: list[float], b: list[float]) -> float:
+    """Driver-side cosine with the exact left-to-right float fold
+    Spark's aggregate() and DuckDB's list_reduce use — bit-identical
+    across all three, so centroid selection ties break identically."""
+    import math
+
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot = dot + x * y
+    for x in a:
+        na = na + x * x
+    for y in b:
+        nb = nb + y * y
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def farthest_first_centroids(sample: list[tuple], n_centroids: int
+                             ) -> list[tuple[int, list[float]]]:
+    """Deterministic farthest-first traversal over an md5-ordered
+    sample: start at the sample's md5-smallest point, then repeatedly
+    take the point whose max-cosine to the chosen set is smallest
+    (i.e. the farthest), tie-broken by sample order.  Pure driver-side
+    arithmetic with the cross-engine float fold (``_fold_cosine``) so
+    the DuckDB oracle reproduces the identical centroid set.
+
+    ``sample``: [(id, vec)] already in md5(id) order."""
+    if not sample:
+        return []
+    chosen = [0]
+    # max cosine to the chosen set, per sample point
+    best = [_fold_cosine(v, sample[0][1]) for _, v in sample]
+    while len(chosen) < min(n_centroids, len(sample)):
+        far_i, far_v = None, None
+        for i, (_, v) in enumerate(sample):
+            if i in chosen:
+                continue
+            if far_i is None or best[i] < far_v:
+                far_i, far_v = i, best[i]
+        chosen.append(far_i)
+        cv = sample[far_i][1]
+        for i, (_, v) in enumerate(sample):
+            c = _fold_cosine(v, cv)
+            if c > best[i]:
+                best[i] = c
+    return [(rank + 1, sample[i][1]) for rank, i in enumerate(chosen)]
+
+
 def ivf_cosine_topk(items: DataFrame, queries: DataFrame, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     query_id_col: str = "query_id",
-                    n_centroids: int = 16, nprobe: int = 4) -> DataFrame:
-    """IVF-style approximate top-k: deterministic centroids (the
-    first n_centroids item vectors by id — no RNG, no Lloyd float
-    nondeterminism), inverted cells via broadcast argmax assignment,
-    queries probe their nprobe nearest cells, exact cosine rerank on
-    the candidates.
+                    n_centroids: int = 16, nprobe: int = 4,
+                    sample_size: int = 256) -> DataFrame:
+    """IVF-style approximate top-k: deterministic farthest-first
+    centroids over an md5-ordered sample (spread across the space —
+    no RNG, no Lloyd float nondeterminism), inverted cells via
+    broadcast argmax assignment, queries probe their nprobe nearest
+    cells, exact cosine rerank on the candidates.
+
+    Seeding: take the ``sample_size`` items with smallest
+    md5(id) — a deterministic uniform sample, a top-K not a global
+    sort — collect that tiny set to the driver and run
+    farthest-first there (O(sample·n_centroids) float ops).  The
+    selected centroids are broadcast back as literals; at 100 TB the
+    corpus is touched once for the top-K sample and once for
+    assignment.
 
     At scale the items×centroids assignment is a broadcast
     nested-loop over a tiny centroid table, the cell table is
@@ -165,12 +270,19 @@ def ivf_cosine_topk(items: DataFrame, queries: DataFrame, k: int = 10,
     """
     it = items.select(F.col(id_col).alias("neighbor_id"),
                       _as_double(vec_col).alias("_ivec"))
-    w_seed = Window.orderBy(F.col("neighbor_id").asc())
+    sample_rows = (it
+                   .orderBy(F.md5(F.col("neighbor_id").cast("string"))
+                            .asc(),
+                            F.col("neighbor_id").asc())
+                   .limit(sample_size)
+                   .collect())
+    seeds = farthest_first_centroids(
+        [(r.neighbor_id, list(r._ivec)) for r in sample_rows],
+        n_centroids)
     centroids = F.broadcast(
-        it.withColumn("_rn", F.row_number().over(w_seed))
-          .filter(F.col("_rn") <= n_centroids)
-          .select(F.col("_rn").alias("cell"),
-                  F.col("_ivec").alias("_cvec")))
+        items.sparkSession.createDataFrame(
+            [(cell, vec) for cell, vec in seeds],
+            "cell int, _cvec array<double>"))
 
     def assign(df, vec, keep, n_best):
         scored = df.crossJoin(centroids).select(

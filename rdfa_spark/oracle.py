@@ -214,30 +214,49 @@ FROM documents
 
 
 def _langid_cases() -> str:
-    from .functions.text import LANGS, STOPWORDS
-    scores = []
-    for lang in LANGS:
-        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-        scores.append(
-            f"len(list_filter(toks, t -> list_contains([{words}], t)))"
-            f" AS s_{lang}")
-    score_sql = ",\n       ".join(scores)
-    best = "greatest(" + ", ".join(f"s_{l}" for l in LANGS) + ")"
-    case = "CASE\n"
-    for lang in LANGS:
-        case += (f"  WHEN s_{lang} = {best} AND {best} > 0"
-                 f" THEN '{lang}'\n")
-    case += "  ELSE 'unknown' END"
+    """Char-trigram language-ID — exact mirror of
+    rdfa_spark.functions.text.with_language_id: the same profile
+    table (generated from the same seeds) as a VALUES list, the same
+    padded trigram extraction, integer sums, and the same
+    (score DESC, lang_rank ASC) argmax with 'unknown' fallback."""
+    from .functions.text import TRIGRAM_LANGS, trigram_profiles
+
+    profs = trigram_profiles()
+    rows = []
+    for rank, lang in enumerate(TRIGRAM_LANGS):
+        for tri, w in profs[lang].items():
+            t = tri.replace("'", "''")
+            rows.append(f"('{lang}', {rank}, '{t}', {w})")
+    values = ",\n    ".join(rows)
     return f"""
-WITH tok AS (
-  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
-  FROM documents
-), scored AS (
+WITH prof(lang, lang_rank, tri, w) AS (
+  VALUES
+    {values}
+), pad AS (
   SELECT doc_id,
-       {score_sql}
-  FROM tok
+         ' ' || regexp_replace(lower(coalesce(text, '')), '\\s+', ' ',
+                               'g') || ' ' AS p
+  FROM documents
+), tris AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(length(p) - 1, 1)),
+                               i -> substr(p, CAST(i AS INTEGER), 3)))
+           AS tri
+  FROM pad
+), sc AS (
+  SELECT doc_id, lang, lang_rank, CAST(sum(w) AS BIGINT) AS score
+  FROM tris JOIN prof USING (tri)
+  GROUP BY doc_id, lang, lang_rank
+), best AS (
+  SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, lang_rank ASC)
+             AS rn
+    FROM sc WHERE score > 0) WHERE rn = 1
 )
-SELECT doc_id, {case} AS lang_pred FROM scored
+SELECT d.doc_id, coalesce(b.lang, 'unknown') AS lang_pred
+FROM documents d LEFT JOIN best b USING (doc_id)
 """
 
 
@@ -455,11 +474,12 @@ def _cos(a: str, b: str) -> str:
 
 # Hyperplane-LSH ANN: the same deterministic md5-derived plane signs
 # as similarity._plane_signs_py, embedded as literal arrays; bucket =
-# concat of sign bits; candidates restricted to the query's bucket;
-# mirror of lsh_cosine_topk(n_planes=6, dim=64, k=10).
+# concat of sign bits; candidates restricted to the query's probe
+# buckets (signature + its 1..multiprobe-bit flips, fixed order);
+# mirror of lsh_cosine_topk(n_planes=6, dim=64, k=10, multiprobe=1).
 def _lsh_topk_sql(n_planes: int = 6, dim: int = 64,
-                  k: int = 10) -> str:
-    from .functions.similarity import _plane_signs_py
+                  k: int = 10, multiprobe: int = 1) -> str:
+    from .functions.similarity import _plane_signs_py, multiprobe_flips
 
     def sig(col: str) -> str:
         bits = []
@@ -471,6 +491,19 @@ def _lsh_topk_sql(n_planes: int = 6, dim: int = 64,
             bits.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
         return " || ".join(bits)
 
+    def probe(combo: tuple) -> str:
+        if not combo:
+            return "sig"
+        parts = []
+        for i in range(n_planes):
+            c = f"substr(sig, {i + 1}, 1)"
+            if i in combo:
+                c = f"(CASE WHEN {c} = '1' THEN '0' ELSE '1' END)"
+            parts.append(c)
+        return " || ".join(parts)
+
+    probes = ", ".join(probe(c) for c in
+                       multiprobe_flips(n_planes, multiprobe))
     return f"""
 WITH it AS (
   SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS iv
@@ -482,9 +515,11 @@ WITH it AS (
   FROM embeddings WHERE vec_id % 50 = 0
 ), qs AS (
   SELECT query_id, qv, {sig('qv')} AS sig FROM q
+), qp AS (
+  SELECT query_id, qv, unnest([{probes}]) AS sig FROM qs
 ), cand AS (
   SELECT query_id, neighbor_id, {_cos('iv', 'qv')} AS score
-  FROM its JOIN qs USING (sig)
+  FROM its JOIN qp USING (sig)
   WHERE neighbor_id <> query_id
 ), ranked AS (
   SELECT query_id, neighbor_id, score,
@@ -499,19 +534,56 @@ FROM ranked WHERE rank <= {k}
 """
 
 
-# IVF ANN: deterministic centroids (first 16 vectors by id), argmax
-# cell assignment, nprobe=4 query probing, exact rerank — mirror of
-# rdfa_spark.functions.similarity.ivf_cosine_topk(n_centroids=16,
-# nprobe=4, k=10).
-ANN_IVF_TOPK_SQL = f"""
-WITH it AS (
+# IVF ANN: deterministic farthest-first centroids over an md5-ordered
+# sample (mirror of similarity.farthest_first_centroids — identical
+# left-to-right float folds, so the selected set is bit-identical),
+# argmax cell assignment, nprobe=4 query probing, exact rerank —
+# mirror of ivf_cosine_topk(n_centroids=16, nprobe=4, k=10,
+# sample_size=256).  The traversal unrolls to one CTE pair per
+# centroid: n_k picks the point whose max-cosine-to-chosen is
+# smallest (ties by sample order), s_k folds the new centroid into
+# the running best array.
+def _ivf_topk_sql(n_centroids: int = 16, nprobe: int = 4,
+                  k: int = 10, sample_size: int = 256) -> str:
+    parts = [f"""
+WITH samp AS MATERIALIZED (
+  SELECT ord, sv FROM (
+    SELECT CAST(embedding AS DOUBLE[]) AS sv,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))
+                              ASC, vec_id ASC) AS ord
+    FROM embeddings) WHERE ord <= {sample_size}
+), s1 AS MATERIALIZED (
+  SELECT s.ord, s.sv, {_cos('s.sv', 'c.cv')} AS best,
+         (s.ord = 1) AS chosen
+  FROM samp s, (SELECT sv AS cv FROM samp WHERE ord = 1) c
+)"""]
+    for j in range(2, n_centroids + 1):
+        prev = f"s{j - 1}"
+        cos_new = _cos("s.sv", "c.cv")
+        parts.append(f""",
+n{j} AS MATERIALIZED (
+  SELECT ord AS pick FROM {prev} WHERE NOT chosen
+  ORDER BY best ASC, ord ASC LIMIT 1
+), s{j} AS MATERIALIZED (
+  SELECT s.ord, s.sv,
+         CASE WHEN {cos_new} > s.best THEN {cos_new}
+              ELSE s.best END AS best,
+         s.chosen OR s.ord = (SELECT pick FROM n{j}) AS chosen
+  FROM {prev} s,
+       (SELECT sv AS cv FROM {prev}
+        WHERE ord = (SELECT pick FROM n{j})) c
+)""")
+    cent_rows = ["SELECT 1 AS cell, sv AS cv FROM samp WHERE ord = 1"]
+    for j in range(2, n_centroids + 1):
+        cent_rows.append(f"SELECT {j}, sv FROM samp "
+                         f"WHERE ord = (SELECT pick FROM n{j})")
+    cent = "\n  UNION ALL ".join(cent_rows)
+    parts.append(f""",
+cent AS MATERIALIZED (
+  {cent}
+), it AS (
   SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS iv
   FROM embeddings
-), cent AS (
-  SELECT cell, cv FROM (
-    SELECT row_number() OVER (ORDER BY neighbor_id ASC) AS cell,
-           iv AS cv
-    FROM it) WHERE cell <= 16
 ), cells AS (
   SELECT neighbor_id, iv, cell FROM (
     SELECT neighbor_id, iv, cell,
@@ -528,7 +600,7 @@ WITH it AS (
            row_number() OVER (PARTITION BY query_id
                               ORDER BY {_cos('qv', 'cv')} DESC,
                                        cell ASC) AS cr
-    FROM q, cent) WHERE cr <= 4
+    FROM q, cent) WHERE cr <= {nprobe}
 ), cand AS (
   SELECT query_id, neighbor_id, {_cos('iv', 'qv')} AS score
   FROM cells JOIN probes USING (cell)
@@ -542,8 +614,11 @@ WITH it AS (
 )
 SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
        round(score, 4) AS score
-FROM ranked WHERE rank <= 10
-"""
+FROM ranked WHERE rank <= {k}
+""")
+    return "".join(parts)
+
+
 
 ANN_TOPK_SQL = """
 WITH q AS (
