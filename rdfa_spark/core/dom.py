@@ -328,6 +328,19 @@ _IMPLIED_END = {
 }
 
 
+
+def _attr_dict(attrs) -> dict:
+    """First occurrence wins for duplicate attributes — the HTML5
+    tree-construction rule (a real HTML5 parser ignores repeats), so
+    tag-soup pages hash to the same triples the reference's
+    HTML::HTML5::Parser would produce."""
+    out: dict = {}
+    for k, v in attrs:
+        if k not in out:
+            out[k] = v
+    return out
+
+
 class _SoupBuilder(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
@@ -342,10 +355,11 @@ class _SoupBuilder(HTMLParser):
     def handle_starttag(self, tag, attrs):
         if tag == "html":
             if self.root is None:
-                self.root = Element("html", dict(attrs))
+                self.root = Element("html", _attr_dict(attrs))
                 self.stack = [self.root]
             else:
-                self.root.attrs.update(dict(attrs))
+                for _k, _v in attrs:
+                    self.root.attrs.setdefault(_k, _v)
             return
         self._ensure_root()
         # implied end tags
@@ -368,7 +382,7 @@ class _SoupBuilder(HTMLParser):
                     del self.stack[i:]
                     break
         parent = self.stack[-1]
-        el = Element(tag, dict(attrs), parent)
+        el = Element(tag, _attr_dict(attrs), parent)
         parent.children.append(el)
         if tag not in _VOID:
             self.stack.append(el)
@@ -379,7 +393,7 @@ class _SoupBuilder(HTMLParser):
             return
         self._ensure_root()
         parent = self.stack[-1]
-        el = Element(tag, dict(attrs), parent)
+        el = Element(tag, _attr_dict(attrs), parent)
         parent.children.append(el)
 
     def handle_endtag(self, tag):

