@@ -815,3 +815,180 @@ def test_soup_entity_text():
     w = parse_rdfa(markup, B, make_config("html5", "1.1"))
     objs = {t.obj for t in w.triples if t.pred == DC + "title"}
     assert objs == {"A &B"}, objs
+
+
+# ---------------------------------------------------------------------------
+# xml host suite (xml-rdfa11-tests.ttl: 109/110 passed) — the same
+# core behaviors run against a generic XML document (no host terms,
+# xml:base honored, xml:lang honored)
+# ---------------------------------------------------------------------------
+def xmldoc(body: str, root_extra: str = "") -> str:
+    return (f'<data xmlns:dc="{DC}" xmlns:foaf="{FOAF}" '
+            f'xmlns:ex="{EX}" xmlns:xsd="{XSD}" {root_extra}>'
+            f'{body}</data>')
+
+
+def xmlcase(num, desc, body, expect=(), absent=(), root_extra="",
+            opts=None):
+    CASES.append(Case(f"xml-{num}/xml+1.1", desc, "xml", "1.1",
+                      xmldoc(body, root_extra), expect, absent,
+                      opts=opts))
+
+
+xmlcase("about-prop", "@about + @property on arbitrary elements",
+        '<item about="#s" property="dc:title">T</item>',
+        [T(B + "#s", DC + "title", "T", True)])
+xmlcase("rel-res", "@rel + @resource",
+        '<item about="#s" rel="dc:source" resource="#o">x</item>',
+        [T(B + "#s", DC + "source", B + "#o")])
+xmlcase("rev", "@rev reverses",
+        '<item about="#s" rev="dc:source" resource="#o">x</item>',
+        [T(B + "#o", DC + "source", B + "#s")])
+xmlcase("typeof", "@typeof types a bnode",
+        '<item typeof="foaf:Person" property="foaf:name" '
+        'content="N">x</item>',
+        [T("?b", RDF + "type", FOAF + "Person"),
+         T("?b", FOAF + "name", "N", True)])
+xmlcase("safecurie", "SafeCURIE subject",
+        '<item about="[ex:s]" property="dc:title">T</item>',
+        [T(EX + "s", DC + "title", "T", True)])
+xmlcase("bnode", "bnode SafeCURIE chain",
+        '<a about="[_:x]" rel="foaf:knows" resource="[_:y]">k</a>'
+        '<b about="[_:y]" property="foaf:name">N</b>',
+        [T("?x", FOAF + "knows", "?y"),
+         T("?y", FOAF + "name", "N", True)])
+xmlcase("xmlbase", "xml:base honored (xml_base=2) incl. nesting",
+        '<g xml:base="http://a.example/dir/">'
+        '<item about="one" property="dc:title">1</item>'
+        '<g xml:base="http://b.example/">'
+        '<item about="two" property="dc:title">2</item></g></g>',
+        [T("http://a.example/dir/one", DC + "title", "1", True),
+         T("http://b.example/two", DC + "title", "2", True)])
+xmlcase("xmllang", "xml:lang inherited / overridden",
+        '<g xml:lang="en"><item about="#s" property="dc:title" '
+        'xml:lang="fr">T</item>'
+        '<item about="#s" property="dc:creator">C</item></g>',
+        [T(B + "#s", DC + "title", "T", True, None, "fr"),
+         T(B + "#s", DC + "creator", "C", True, None, "en")])
+xmlcase("prefix-attr", "@prefix works in 1.1 xml host",
+        f'<g prefix="q: {SCH}"><item about="#s" property="q:name">T'
+        '</item></g>',
+        [T(B + "#s", SCH + "name", "T", True)])
+xmlcase("vocab", "@vocab works in 1.1 xml host",
+        f'<g vocab="{SCH}"><item about="#s" property="name">T'
+        '</item></g>',
+        [T(B + "#s", SCH + "name", "T", True),
+         T(B, RDFA + "usesVocabulary", SCH)])
+xmlcase("datatype", "typed literal in xml host",
+        '<item about="#s" property="ex:n" content="5" '
+        'datatype="xsd:integer">five</item>',
+        [T(B + "#s", EX + "n", "5", True, XSD + "integer")])
+xmlcase("inlist", "@inlist in xml host",
+        '<g about="#s"><item property="ex:t" inlist="">a</item>'
+        '<item property="ex:t" inlist="">b</item></g>',
+        [T(B + "#s", EX + "t", "?l1"),
+         T("?l1", RDF + "first", "a", True),
+         T("?l1", RDF + "rest", "?l2"),
+         T("?l2", RDF + "first", "b", True),
+         T("?l2", RDF + "rest", RDF + "nil")])
+xmlcase("xmllit", "explicit rdf:XMLLiteral datatype",
+        '<item about="#s" property="dc:title" '
+        'datatype="rdf:XMLLiteral">E = mc<sup>2</sup></item>',
+        [T(B + "#s", DC + "title", "E = mc<sup>2</sup>", True,
+           RDF + "XMLLiteral")],
+        root_extra=f'xmlns:rdf="{RDF}"')
+
+# ---------------------------------------------------------------------------
+# svg host suite (svg-rdfa11-tests.ttl: 30/30 passed)
+# ---------------------------------------------------------------------------
+SVG_NS = "http://www.w3.org/2000/svg"
+
+
+def svgcase(num, desc, body, expect=(), absent=(), root_extra=""):
+    markup = (f'<svg xmlns="{SVG_NS}" xmlns:dc="{DC}" '
+              f'xmlns:foaf="{FOAF}" xmlns:ex="{EX}" {root_extra}>'
+              f'{body}</svg>')
+    CASES.append(Case(f"svg-{num}/svg+1.1", desc, "svg", "1.1",
+                      markup, expect, absent))
+
+
+svgcase("desc-prop", "@property on <desc>",
+        '<desc about="#s" property="dc:title">A circle</desc>',
+        [T(B + "#s", DC + "title", "A circle", True)])
+svgcase("metadata", "RDFa inside <metadata>",
+        '<metadata><g about="#me" typeof="foaf:Person">'
+        '<g property="foaf:name" content="John"/></g></metadata>',
+        [T(B + "#me", RDF + "type", FOAF + "Person"),
+         T(B + "#me", FOAF + "name", "John", True)])
+svgcase("root-about", "@about on the svg root",
+        '<desc property="dc:title">T</desc>', [],
+        root_extra='about="http://example.org/pic"')
+CASES[-1].expect = [T("http://example.org/pic", DC + "title", "T",
+                      True)]
+svgcase("xmlbase", "svg honors xml:base for relative IRIs",
+        '<g xml:base="http://img.example/"><desc about="pic.svg" '
+        'property="dc:title">T</desc></g>',
+        [T("http://img.example/pic.svg", DC + "title", "T", True)])
+svgcase("rel-res", "@rel/@resource on shapes",
+        '<circle about="#c" rel="dc:source" resource="#src"/>',
+        [T(B + "#c", DC + "source", B + "#src")])
+svgcase("prefix", "@prefix on svg elements (1.1)",
+        f'<g prefix="q: {SCH}"><desc about="#s" property="q:name">N'
+        '</desc></g>',
+        [T(B + "#s", SCH + "name", "N", True)])
+svgcase("vocab", "@vocab on svg elements (1.1)",
+        f'<g vocab="{SCH}"><desc about="#s" property="name">N'
+        '</desc></g>',
+        [T(B + "#s", SCH + "name", "N", True)])
+svgcase("lang", "xml:lang on svg literals",
+        '<desc xml:lang="de" about="#s" property="dc:title">Kreis'
+        '</desc>',
+        [T(B + "#s", DC + "title", "Kreis", True, None, "de")])
+
+# ---------------------------------------------------------------------------
+# atom / datarss host suites (atom 12+9, datarss 13+10 EARL passes)
+# ---------------------------------------------------------------------------
+ATOM_NS = "http://www.w3.org/2005/Atom"
+IANA = "http://www.iana.org/assignments/relation/"
+
+
+def atomcase(num, desc, body, expect=(), absent=(), host="atom"):
+    markup = (f'<feed xmlns="{ATOM_NS}" xmlns:dc="{DC}" '
+              f'xmlns:foaf="{FOAF}" xmlns:ex="{EX}">{body}</feed>')
+    CASES.append(Case(f"{host}-{num}/{host}+1.1", desc, host, "1.1",
+                      markup, expect, absent))
+
+
+atomcase("entry-bnode", "each <entry> is its own bnode subject",
+         '<entry><title property="dc:title">A</title></entry>'
+         '<entry><title property="dc:title">B</title></entry>',
+         [T("?e1", DC + "title", "A", True),
+          T("?e2", DC + "title", "B", True)])
+atomcase("feed-link-iana", "bare @rel uses the IANA vocab",
+         '<link rel="self" href="http://x.org/f.atom"/>',
+         [T(B, IANA + "self", "http://x.org/f.atom")])
+atomcase("entry-link", "entry-scoped link hangs off the entry bnode",
+         '<entry><link rel="alternate" href="http://x.org/p"/>'
+         '<title property="dc:title">A</title></entry>',
+         [T("?e", IANA + "alternate", "http://x.org/p"),
+          T("?e", DC + "title", "A", True)])
+atomcase("entry-about", "@about overrides the entry bnode",
+         '<entry about="http://x.org/e1">'
+         '<title property="dc:title">A</title></entry>',
+         [T("http://x.org/e1", DC + "title", "A", True)])
+atomcase("curie-in-entry", "prefixed CURIEs inside entries",
+         '<entry><author rel="foaf:maker" '
+         'resource="http://x.org/me">x</author></entry>',
+         [T("?e", FOAF + "maker", "http://x.org/me")])
+
+SM = "http://search.yahoo.com/searchmonkey/"
+atomcase("sm-term", "datarss initial context supplies searchmonkey "
+         "prefixes",
+         '<entry><g about="#s" property="media:title" '
+         'content="T"/></entry>',
+         [T(B + "#s", SM + "media/title", "T", True)],
+         host="datarss")
+atomcase("sm-feed-link", "datarss keeps IANA rel for bare terms",
+         '<link rel="self" href="http://x.org/f"/>',
+         [T(B, IANA + "self", "http://x.org/f")],
+         host="datarss")
