@@ -188,6 +188,28 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   "id", "text")
 
 
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup end-to-end: 64-bit signatures, pigeonhole
+    16-bit word blocking, Hamming verify on candidates only —
+    mirrored by oracle._dedup_simhash_sql."""
+    from rdfa_spark.pipeline.dedup import simhash_near_dup_pairs
+    pairs = simhash_near_dup_pairs(_dup_corpus(spark, sf_dir), "id",
+                                   "text", max_hamming=3)
+    return pairs.select("id_a", "id_b",
+                        F.col("hamming").cast("bigint")
+                         .alias("hamming"))
+
+
+def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer token counts (lookahead-free GPT-2-style
+    regex, JVM-side regexp_extract_all) — mirrored by
+    oracle.TOKEN_BPE_SQL with the identical pattern."""
+    from rdfa_spark.functions.text import with_bpe_token_count
+    return with_bpe_token_count(_documents(spark, sf_dir), "text") \
+        .select("doc_id", F.col("n_bpe_tokens").cast("bigint")
+                .alias("n_bpe_tokens"))
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup dedup pipeline: minhash -> banded LSH candidates
     -> exact 3-gram Jaccard verification on candidates only (never
@@ -387,6 +409,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "quality_score": q_quality,
         "dedup_exact": q_dedup_exact,
+        "dedup_simhash": q_dedup_simhash,
+        "token_bpe": q_token_bpe,
         "dedup_minhash": q_dedup_minhash,
         "minhash_signature": q_minhash_signature,
         "minhash_band_pairs": q_minhash_band_pairs,
@@ -417,6 +441,8 @@ def oracle_sql() -> dict[str, str]:
         "language_id": oracle.langid_sql(),
         "quality_score": oracle.quality_sql(),
         "dedup_exact": oracle.DEDUP_EXACT_SQL,
+        "dedup_simhash": oracle._dedup_simhash_sql(3),
+        "token_bpe": oracle.TOKEN_BPE_SQL,
         "dedup_minhash": oracle._dedup_minhash_sql(),
         "minhash_signature": oracle.MINHASH_SIGNATURE_SQL,
         "minhash_band_pairs": oracle.MINHASH_BAND_PAIRS_SQL,

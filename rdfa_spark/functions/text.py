@@ -191,6 +191,25 @@ def with_language_id(df: DataFrame, text_col: str = "text",
             .drop("_lid", "_lang"))
 
 
+# BPE-ish pre-tokenization pattern (GPT-2 style, lookahead-free so
+# both Java regex and RE2/DuckDB agree): a token is an optional
+# leading space plus a run of letters, digits, or other non-space
+# symbols.  Counting these approximates subword-tokenizer token
+# counts far better than whitespace splitting on punctuation-dense
+# web text.
+BPE_TOKEN_RE = r" ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N} ]+"
+
+
+def with_bpe_token_count(df: DataFrame, text_col: str = "text",
+                         out: str = "n_bpe_tokens") -> DataFrame:
+    """Token count under the BPE-ish pre-tokenizer regex — one
+    JVM-side regexp_extract_all, no Python."""
+    toks = F.regexp_extract_all(
+        F.regexp_replace(F.col(text_col), r"\s+", " "),
+        F.lit(BPE_TOKEN_RE), 0)
+    return df.withColumn(out, F.size(toks))
+
+
 def with_quality_score(df: DataFrame, text_col: str = "text",
                        prefix: str = "q_") -> DataFrame:
     """Quality features, integer-scaled (per-mille) so every engine

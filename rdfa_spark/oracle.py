@@ -205,6 +205,18 @@ SELECT doc_id,
 FROM documents
 """
 
+# BPE-ish pre-tokenizer token counts — lookahead-free pattern shared
+# verbatim with functions.text.BPE_TOKEN_RE (Java regex and RE2 agree
+# on it).
+TOKEN_BPE_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(
+                regexp_replace(text, '\s+', ' ', 'g'),
+                ' ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N} ]+')) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents
+"""
+
 FINGERPRINT_SQL = """
 SELECT doc_id,
        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
@@ -361,6 +373,52 @@ SELECT id_a, id_b,
        CAST(floor(jaccard * 1000) AS BIGINT) AS jaccard_pm
 FROM verified WHERE jaccard >= 0.5
 """
+
+# SimHash near-dup end-to-end over the dup corpus: 64-bit signatures
+# (same md5 bit votes as SIMHASH_SIGNATURE_SQL), pigeonhole 16-bit
+# word blocking, Hamming verification on candidates only — mirror of
+# pipeline.dedup.simhash_near_dup_pairs(max_hamming, block_bits=16).
+def _dedup_simhash_sql(max_hamming: int = 8) -> str:
+    ham = ("len(list_filter(range(0, 64), "
+           "i -> substr(sa, CAST(i + 1 AS INTEGER), 1) <> "
+           "substr(sb, CAST(i + 1 AS INTEGER), 1)))")
+    return DUP_CORPUS_CTE + f""",
+tok AS (
+  SELECT id,
+         unnest(list_distinct(string_split_regex(lower(text),
+                                                 '\\s+'))) AS t
+  FROM corpus
+), bits AS (
+  SELECT id, i.i AS pos,
+         CASE WHEN i.i < 32
+           THEN (('0x' || substr(md5(t), 1, 8))::BIGINT
+                 >> (31 - i.i)) & 1
+           ELSE (('0x' || substr(md5(t), 9, 8))::BIGINT
+                 >> (63 - i.i)) & 1
+         END AS bit
+  FROM tok, (SELECT unnest(range(0, 64)) AS i) i
+), votes AS (
+  SELECT id, pos,
+         sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
+  FROM bits GROUP BY id, pos
+), sh AS (
+  SELECT id, string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, ''
+                        ORDER BY pos) AS simhash
+  FROM votes GROUP BY id
+), blocked AS (
+  SELECT id, simhash, w.w AS word_id,
+         substr(simhash, CAST(w.w * 16 + 1 AS INTEGER), 16) AS word
+  FROM sh, (SELECT unnest(range(0, 4)) AS w) w
+), cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+         x.simhash AS sa, y.simhash AS sb
+  FROM blocked x JOIN blocked y USING (word_id, word)
+  WHERE x.id < y.id
+)
+SELECT id_a, id_b, CAST({ham} AS BIGINT) AS hamming
+FROM cand WHERE {ham} <= {max_hamming}
+"""
+
 
 # MinHash signatures: 3-word shingles, universal-hash minima over one
 # md5 per shingle — byte-identical mirror of

@@ -459,3 +459,15 @@ def test_language_id_mixed_scripts(spark):
             6: "zh", 7: "ja", 8: "ko", 9: "unknown"}
     for k, v in want.items():
         assert got[k] == v, (k, got[k], v)
+
+
+def test_bpe_token_count(spark):
+    from rdfa_spark.functions.text import with_bpe_token_count
+    rows = [(1, "hello, world!  42 c'est done"), (2, ""), (3, "a-b")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.n_bpe_tokens
+           for r in with_bpe_token_count(df, "text").collect()}
+    # 'hello' ',' ' world' '!' ' 42' ' c' "'" 'est' ' done'
+    assert got[1] == 9
+    assert got[2] == 0
+    assert got[3] == 3          # 'a' '-' 'b'
