@@ -144,6 +144,61 @@ def _padded_col(text_col: str) -> Column:
     return F.concat(F.lit(" "), norm, F.lit(" "))
 
 
+def language_id_kernel(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       out: str = "lang_pred") -> DataFrame:
+    """Arrow-batched language-ID kernel: the same trigram profiles,
+    integer scores, and (score desc, lang order) tie-break as the
+    relational path — bit-identical predictions — but zero shuffle
+    and no 100x trigram-row explode: one combined {trigram: weight
+    vector} dict per worker, one pass over each document's chars.
+    Returns (id_col, out); use ``with_language_id`` when the
+    prediction must be appended to an existing row set.
+
+    Whitespace collapse uses the ASCII class [ \\t\\n\\x0b\\f\\r]
+    — exactly Java regex / RE2 ``\\s`` — so the three engines
+    (kernel, Spark SQL, DuckDB) normalize identically."""
+    import re as _re
+
+    import pandas as _pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    profs = trigram_profiles()
+    langs = TRIGRAM_LANGS
+    n = len(langs)
+    combined: dict[str, list[int]] = {}
+    for li, lang in enumerate(langs):
+        for tri, w in profs[lang].items():
+            combined.setdefault(tri, [0] * n)[li] = w
+    ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+    out_schema = StructType([
+        StructField(id_col, df.schema[id_col].dataType, True),
+        StructField(out, StringType(), True),
+    ])
+
+    def batches(it):
+        get = combined.get
+        for pdf in it:
+            ids, preds = [], []
+            for rid, text in zip(pdf[id_col].values,
+                                 pdf[text_col].values):
+                p = " " + ws.sub(" ", (text or "").lower()) + " "
+                scores = [0] * n
+                for i in range(len(p) - 2):
+                    v = get(p[i:i + 3])
+                    if v is not None:
+                        for j in range(n):
+                            scores[j] += v[j]
+                best = max(scores)
+                preds.append(langs[scores.index(best)]
+                             if best > 0 else "unknown")
+                ids.append(rid)
+            yield _pd.DataFrame({id_col: ids, out: preds})
+
+    return df.select(id_col, text_col).mapInPandas(batches,
+                                                   out_schema)
+
+
 def with_language_id(df: DataFrame, text_col: str = "text",
                      out: str = "lang_pred",
                      id_col: str = "doc_id") -> DataFrame:

@@ -471,3 +471,26 @@ def test_bpe_token_count(spark):
     assert got[1] == 9
     assert got[2] == 0
     assert got[3] == 3          # 'a' '-' 'b'
+
+
+def test_language_id_kernel_matches_relational(spark):
+    """The Arrow kernel and the relational explode+join path must be
+    bit-identical (same profiles, same integer argmax)."""
+    from rdfa_spark.functions.text import language_id_kernel
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet").limit(200)
+    rel = {r.doc_id: r.lang_pred for r in
+           with_language_id(docs, "text", id_col="doc_id")
+           .select("doc_id", "lang_pred").collect()}
+    ker = {r.doc_id: r.lang_pred for r in
+           language_id_kernel(docs, "doc_id", "text").collect()}
+    assert rel == ker
+    rows = [(1, "die leute aus der stadt haben mehr zeit für alles"),
+            (2, "从城里来的人说他们会有更多的时间。"), (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    rel2 = {r.doc_id: r.lang_pred for r in
+            with_language_id(df, "text").select("doc_id",
+                                                "lang_pred").collect()}
+    ker2 = {r.doc_id: r.lang_pred for r in
+            language_id_kernel(df).collect()}
+    assert rel2 == ker2 == {1: "de", 2: "zh", 3: "unknown"}
