@@ -992,3 +992,136 @@ atomcase("sm-feed-link", "datarss keeps IANA rel for bare terms",
          '<link rel="self" href="http://x.org/f"/>',
          [T(B, IANA + "self", "http://x.org/f")],
          host="datarss")
+
+
+# ---------------------------------------------------------------------------
+# Batch 3: version-difference pins, per-host xml:base, lang resets,
+# hanging @rev, typeof+resource, @value/@datetime ladder
+# ---------------------------------------------------------------------------
+# Unbracketed CURIE in @about: legal in 1.1 (safe_optional), an
+# absolute IRI with scheme 'ex' in 1.0 (SafeCURIE required).
+w3c("0254c", "@about unbracketed CURIE resolves as CURIE (1.1)",
+    '<p about="ex:s" property="dc:title">T</p>',
+    [T(EX + "s", DC + "title", "T", True)],
+    combos=COMBOS_11)
+w3c("0254i", "@about unbracketed 'ex:s' is an IRI in RDFa 1.0",
+    '<p about="ex:s" property="dc:title">T</p>',
+    [T("ex:s", DC + "title", "T", True)],
+    combos=[("xhtml", "1.0")])
+
+w3c("0104n", "absolute IRI in @rel is NOT allowed in RDFa 1.0",
+    '<a about="#s" rel="http://purl.org/dc/elements/1.1/source" '
+    'href="o.html">x</a>',
+    absent=[T(B + "#s", DC + "source",
+              "http://example.com/o.html")],
+    combos=COMBOS_10)
+
+w3c("lang-reset", "empty xml:lang resets to no language",
+    '<div xml:lang="en"><p xml:lang="" about="#s" '
+    'property="dc:title">T</p></div>',
+    [T(B + "#s", DC + "title", "T", True, None, None)],
+    combos=[("xhtml", "1.0"), ("xhtml", "1.1"), ("xhtml5", "1.1")])
+
+w3c("rev-hanging", "hanging @rev completed by child subject "
+    "(reversed direction)",
+    '<div about="#s" rev="dc:source"><p about="#o">x</p></div>',
+    [T(B + "#o", DC + "source", B + "#s")])
+
+w3c("typeof-resource", "@typeof with @resource and no @about types "
+    "the resource (1.1 typed resource)",
+    '<div rel="dc:relation" resource="#o" typeof="ex:Thing">x</div>',
+    [T(B, DC + "relation", B + "#o"),
+     T(B + "#o", RDF + "type", EX + "Thing")],
+    combos=COMBOS_11)
+w3c("typeof-about-beats-resource", "@typeof with BOTH about and "
+    "resource types the @about subject",
+    '<div about="#s" typeof="ex:Thing" rel="dc:relation" '
+    'resource="#o">x</div>',
+    [T(B + "#s", RDF + "type", EX + "Thing"),
+     T(B + "#s", DC + "relation", B + "#o")],
+    absent=[T(B + "#o", RDF + "type", EX + "Thing")])
+
+# xml:base honored in xhtml5 (xml_base=2) but ignored in xhtml1
+CASES.append(Case(
+    "xmlbase-xhtml5/xhtml5+1.1", "xhtml5 host honors xml:base",
+    "xhtml5", "1.1",
+    doc('<div xml:base="http://other.example/d/">'
+        '<p about="r" property="dc:title">T</p></div>', "xhtml5",
+        "1.1"),
+    [T("http://other.example/d/r", DC + "title", "T", True)]))
+CASES.append(Case(
+    "xmlbase-xhtml1/xhtml+1.1", "xhtml1 host ignores xml:base",
+    "xhtml", "1.1",
+    doc('<div xml:base="http://other.example/d/">'
+        '<p about="r" property="dc:title">T</p></div>', "xhtml",
+        "1.1"),
+    [T("http://example.com/r", DC + "title", "T", True)]))
+
+# <base href> override per host (xhtml_base=1)
+for host, ver in COMBOS_ALL:
+    markup = doc('<p about="r" property="dc:title">T</p>', host, ver)
+    markup = markup.replace("<title>t</title>",
+                            '<title>t</title>'
+                            '<base href="http://based.example/x/"/>')
+    CASES.append(Case(f"base-href/{host}+{ver}",
+                      "<base href> overrides the retrieval IRI",
+                      host, ver, markup,
+                      [T("http://based.example/x/r", DC + "title",
+                         "T", True)]))
+
+# @datetime ladder (html hosts, 1.1): gYearMonth / gYear / explicit
+# datatype wins over sniffing
+w3c("dt-gym", "@datetime gYearMonth sniff",
+    '<time about="#s" property="dc:date" datetime="2012-03">x'
+    '</time>',
+    [T(B + "#s", DC + "date", "2012-03", True, XSD + "gYearMonth")],
+    combos=HTML_TIME)
+w3c("dt-gy", "@datetime gYear sniff",
+    '<time about="#s" property="dc:date" datetime="2012">x</time>',
+    [T(B + "#s", DC + "date", "2012", True, XSD + "gYear")],
+    combos=HTML_TIME)
+w3c("dt-explicit", "explicit @datatype beats the sniff ladder",
+    '<time about="#s" property="dc:date" datetime="2012-03-18" '
+    'datatype="xsd:string">x</time>',
+    [T(B + "#s", DC + "date", "2012-03-18", True, XSD + "string")],
+    combos=HTML_TIME)
+w3c("time-content", "<time> element text sniffs when @datetime "
+    "absent",
+    '<time about="#s" property="dc:date">2012-03-18</time>',
+    [T(B + "#s", DC + "date", "2012-03-18", True, XSD + "date")],
+    combos=[("html5", "1.1"), ("xhtml5", "1.1")])
+
+# @value attribute (html*+1.1 value_attr)
+w3c("value-attr", "@value supplies the literal (html data element)",
+    '<data about="#s" property="ex:n" value="42">forty-two</data>',
+    [T(B + "#s", EX + "n", "42", True)],
+    combos=[("html4", "1.1"), ("html5", "1.1"), ("xhtml5", "1.1")])
+
+# prefix attr is case-insensitive on prefix names in 1.1
+w3c("prefix-nocase", "@prefix prefix names match case-insensitively",
+    "", [], combos=[])
+for host, ver in COMBOS_11:
+    markup = doc(f'<div prefix="MiXeD: {EX}">'
+                 f'<p about="#s" property="mixed:x">T</p></div>',
+                 host, ver)
+    CASES.append(Case(f"w3c-prefix-nocase/{host}+{ver}",
+                      "case-insensitive @prefix names", host, ver,
+                      markup, [T(B + "#s", EX + "x", "T", True)]))
+
+# html32 host: @lang works, xml:lang ignored, value/datetime in 1.1
+CASES.append(Case(
+    "html32-datetime/html32+1.1", "html32+1.1 enables @datetime",
+    "html32", "1.1",
+    f'<html xmlns:dc="{DC}"><body><time about="#s" '
+    f'property="dc:date" datetime="1999">x</time></body></html>',
+    [T(B + "#s", DC + "date", "1999", True, XSD + "gYear")]))
+
+# embedded RDF/XML island in the generic xml host (embedded_rdfxml=1)
+CASES.append(Case(
+    "xml-embedded-rdfxml/xml+1.1",
+    "rdf:RDF islands are parsed in the xml host",
+    "xml", "1.1",
+    f'<data xmlns:rdf="{RDF}" xmlns:dc="{DC}">'
+    f'<rdf:RDF><rdf:Description rdf:about="http://x.org/r">'
+    f'<dc:title>T</dc:title></rdf:Description></rdf:RDF></data>',
+    [T("http://x.org/r", DC + "title", "T", True)]))
