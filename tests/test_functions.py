@@ -494,3 +494,26 @@ def test_language_id_kernel_matches_relational(spark):
     ker2 = {r.doc_id: r.lang_pred for r in
             language_id_kernel(df).collect()}
     assert rel2 == ker2 == {1: "de", 2: "zh", 3: "unknown"}
+
+
+def test_round3_operator_plans(spark):
+    """Plan shape of the round-3 operators: the language-ID kernel is
+    scan -> mapInPandas with no Exchange; multi-probe LSH ANN joins
+    items to a BROADCAST query side (never shuffles the item table)."""
+    from rdfa_spark.functions.similarity import lsh_cosine_topk
+    from rdfa_spark.functions.text import language_id_kernel
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = language_id_kernel(docs, "doc_id", "text") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    plan2 = lsh_cosine_topk(emb, q, k=3, n_planes=6, dim=64,
+                            multiprobe=1) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan2
+    # the only shuffle is the final per-query window rank, never a
+    # repartition of the item table by join key
+    assert "Exchange hashpartitioning(sig" not in plan2
