@@ -201,6 +201,20 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .alias("hamming"))
 
 
+def q_bgp_article(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive BGP over the extracted KG (rdfa_spark.query.bgp):
+    three triple patterns, two subjects joined through the shared ?o
+    variable; constant terms push down into the triple scan —
+    mirrored by oracle.BGP_ARTICLE_SQL."""
+    from rdfa_spark.oracle import DC, RDF, SCHEMA
+    from rdfa_spark.query import bgp
+    t = _triples(spark, sf_dir)
+    out = bgp(t, [("?m", RDF + "type", SCHEMA + "Article"),
+                  ("?m", DC + "relation", "?o"),
+                  ("?o", DC + "title", "?title")])
+    return out.select("m", "o", "title")
+
+
 def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish pre-tokenizer token counts (lookahead-free GPT-2-style
     regex, JVM-side regexp_extract_all) — mirrored by
@@ -412,6 +426,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_simhash": q_dedup_simhash,
         "token_bpe": q_token_bpe,
+        "bgp_article": q_bgp_article,
         "dedup_minhash": q_dedup_minhash,
         "minhash_signature": q_minhash_signature,
         "minhash_band_pairs": q_minhash_band_pairs,
@@ -444,6 +459,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracle.DEDUP_EXACT_SQL,
         "dedup_simhash": oracle._dedup_simhash_sql(3),
         "token_bpe": oracle.TOKEN_BPE_SQL,
+        "bgp_article": oracle.BGP_ARTICLE_SQL,
         "dedup_minhash": oracle._dedup_minhash_sql(),
         "minhash_signature": oracle.MINHASH_SIGNATURE_SQL,
         "minhash_band_pairs": oracle.MINHASH_BAND_PAIRS_SQL,

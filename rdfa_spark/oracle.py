@@ -147,6 +147,18 @@ SELECT url, 'x', NULL, NULL, NULL, NULL, NULL, NULL, NULL,
 FROM d
 """
 
+# Conjunctive BGP over the extracted KG: ?m a schema:Article ;
+# ?m dct:relation ?o . ?o dct:title ?title — two triple-pattern
+# subjects joined through the shared ?o variable (the reference's
+# SPARQL-ASK surface, t/08atom.t:113-124, as relational algebra).
+BGP_ARTICLE_SQL = TRIPLES_CTE + f"""
+SELECT DISTINCT a.subj AS m, r.obj AS o, t.obj AS title
+FROM trip a
+JOIN trip r ON r.subj = a.subj AND r.pred = '{DC}relation'
+JOIN trip t ON t.subj = r.obj AND t.pred = '{DC}title'
+WHERE a.pred = '{RDF}type' AND a.obj = '{SCHEMA}Article'
+"""
+
 # ---------------------------------------------------------------------------
 # Relational surface: window functions + multi-way join coverage
 # (classic operators the engine gets from Catalyst; oracled in DuckDB)
