@@ -88,17 +88,33 @@ def _fingerprint(e: DataFrame) -> tuple[int, int]:
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst",
                          max_iter: int = 30,
-                         reliable: bool = False) -> DataFrame:
+                         reliable: bool = False,
+                         star_steps_per_round: int = 1) -> DataFrame:
     """-> (node, component) where component = min node id (string
     order) in the node's connected component.
 
     Isolated nodes (no edges) are not returned; union them in from
     the node table with component = node if needed.
+
+    ``star_steps_per_round`` large/small-star alternations run
+    between consecutive checkpoint + convergence probes.  Measured
+    (sf0.1 chain graph): 1 -> 10.4 s, 2 -> 10.6 s, 3 -> 65 s — each
+    star consumes its input TWICE (the union of both edge
+    directions), so an un-checkpointed alternation roughly
+    quadruples the logical plan and Catalyst/AQE planning time
+    explodes; the per-round checkpoint is what keeps every round's
+    plan constant-size.  Default stays 1; the knob exists because on
+    a real cluster with expensive reliable checkpoints the tradeoff
+    can differ (2 halves the checkpoint I/O for ~the same wall).
+    A converged edge set is a fixpoint of the alternation, so extra
+    steps past convergence can never change the result.
     """
     e = _checkpoint(_canon_edges(edges, src, dst), reliable)
     prev = _fingerprint(e)
     for _ in range(max_iter):
-        e = _checkpoint(_small_star(_large_star(e)), reliable)
+        for _s in range(max(star_steps_per_round, 1)):
+            e = _small_star(_large_star(e))
+        e = _checkpoint(e, reliable)
         cur = _fingerprint(e)
         if cur == prev:
             break
