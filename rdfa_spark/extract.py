@@ -345,8 +345,12 @@ def extract_triples(pages: DataFrame, config: Config | None = None,
     Pages that fail to parse emit no triples but are never silently
     lost: a Spark accumulator counts them, exposed as
     ``result.parse_failures`` (read ``.value`` after an action).
-    Callers needing the failing urls themselves use ``extract_all``,
-    which materializes them as (kind='e', code='parse-failed') rows.
+    Accumulators updated inside transformations are at-least-once
+    under task retries/speculation (standard Spark semantics), so
+    treat the count as a monitoring signal: nonzero means pages
+    failed.  For an exact, retry-safe audit — or the failing urls
+    themselves — use ``extract_all``, which materializes failures as
+    (kind='e', code='parse-failed') rows in the output itself.
     """
     proj = pages.select("url", "html")
     fail_acc = pages.sparkSession.sparkContext.accumulator(0)
