@@ -1125,3 +1125,112 @@ CASES.append(Case(
     f'<rdf:RDF><rdf:Description rdf:about="http://x.org/r">'
     f'<dc:title>T</dc:title></rdf:Description></rdf:RDF></data>',
     [T("http://x.org/r", DC + "title", "T", True)]))
+
+
+# ---------------------------------------------------------------------------
+# Batch 4: subject-resolution fallbacks, term matching, datatype
+# edges, nested incomplete triples
+# ---------------------------------------------------------------------------
+# RDFa 1.0 subject fallback chain (no rel/rev): @about > @src >
+# @resource > @href — @href becomes the SUBJECT of @property.
+w3c("subj-href-10", "@href is the subject fallback in RDFa 1.0 "
+    "(no rel/rev)",
+    '<a href="l.html" property="dc:title">T</a>',
+    [T("http://example.com/l.html", DC + "title", "T", True)],
+    combos=[("xhtml", "1.0")])
+
+# 1.1 property_resources: @resource is the property's IRI object...
+w3c("prop-resource-11", "@property + @resource: IRI object (1.1)",
+    '<div about="#s" property="dc:source" resource="o.html">text'
+    '</div>',
+    [T(B + "#s", DC + "source", "http://example.com/o.html")],
+    absent=[T(B + "#s", DC + "source", "text", True)],
+    combos=COMBOS_11)
+# ...but in 1.0 @property is literal-only; @about still wins subject
+w3c("prop-resource-10", "@property + @resource: literal in 1.0",
+    '<div about="#s" property="dc:source" resource="o.html">text'
+    '</div>',
+    [T(B + "#s", DC + "source", "text", True)],
+    absent=[T(B + "#s", DC + "source",
+              "http://example.com/o.html")],
+    combos=[("xhtml", "1.0")])
+
+w3c("term-nocase", "term matching falls back case-insensitively "
+    "(rel=NEXT -> xhv:next)",
+    '<a about="#s" rel="NEXT" href="p2">x</a>',
+    [T(B + "#s", XHV + "next", "http://example.com/p2")],
+    combos=[("xhtml", "1.1"), ("html5", "1.1"), ("html4", "1.1")])
+
+w3c("rel-mixed-term-curie", "@rel mixes bare terms and CURIEs",
+    '<a about="#s" rel="license dc:source" href="o">x</a>',
+    [T(B + "#s", XHV + "license", "http://example.com/o"),
+     T(B + "#s", DC + "source", "http://example.com/o")])
+
+w3c("typeof-body", "@typeof on <body> types the base",
+    "", [], combos=[])
+for host, ver in COMBOS_11:
+    markup = doc('<p property="dc:title">T</p>', host, ver) \
+        .replace("<body>", '<body typeof="ex:Doc">')
+    CASES.append(Case(f"w3c-typeof-body/{host}+{ver}",
+                      "@typeof on body types the base subject",
+                      host, ver, markup,
+                      [T(B, RDF + "type", EX + "Doc"),
+                       T(B, DC + "title", "T", True)]))
+
+w3c("dt-scheme-iri", "'undef:x' in @datatype is a valid absolute "
+    "IRI (scheme 'undef'), kept verbatim",
+    '<p about="#s" property="dc:title" datatype="undef:x">T</p>',
+    [T(B + "#s", DC + "title", "T", True, "undef:x")],
+    combos=COMBOS_11)
+
+w3c("safecurie-prefix-only", "[dc:] expands to the bare mapping",
+    '<p about="[dc:]" property="dc:title">T</p>',
+    [T(DC, DC + "title", "T", True)])
+
+w3c("nested-hanging-rels", "hanging @rel inside hanging @rel: "
+    "intermediate bnode chains both",
+    '<div about="#a" rel="dc:relation"><div rel="dc:source">'
+    '<p about="#c">x</p></div></div>',
+    [T(B + "#a", DC + "relation", "?m"),
+     T("?m", DC + "source", B + "#c")])
+
+# @typeof presence (even empty) triggers the 1.1 property/typed-
+# resource rule — spec wording is presence-based, not value-based
+w3c("empty-typeof-presence", "empty @typeof still creates the "
+    "typed-resource bnode for @property (1.1 presence rule)",
+    '<div about="" rel="dc:creator"><span typeof="" '
+    'property="foaf:name">N</span></div>',
+    [T(B, DC + "creator", "?s"),
+     T("?s", FOAF + "name", "?p")],
+    absent=[T(None, FOAF + "name", "N", True),
+            T(None, RDF + "type", None)],
+    combos=[("xhtml", "1.1")])
+
+w3c("content-lang", "@content literal carries inherited xml:lang",
+    '<div xml:lang="it"><p about="#s" property="dc:title" '
+    'content="C">x</p></div>',
+    [T(B + "#s", DC + "title", "C", True, None, "it")],
+    combos=[("xhtml", "1.0"), ("xhtml", "1.1"), ("xhtml5", "1.1")])
+
+w3c("about-body", "@about on <body> rescopes all content",
+    "", [], combos=[])
+for host, ver in COMBOS_ALL:
+    markup = doc('<p property="dc:title">T</p>', host, ver) \
+        .replace("<body>", '<body about="http://x.org/b">')
+    CASES.append(Case(f"w3c-about-body/{host}+{ver}",
+                      "@about on body", host, ver, markup,
+                      [T("http://x.org/b", DC + "title", "T",
+                         True)]))
+
+w3c("two-props-two-objs", "same subject, two property elements, "
+    "distinct literals",
+    '<div about="#s"><span property="dc:title">A</span>'
+    '<span property="dc:creator">B</span></div>',
+    [T(B + "#s", DC + "title", "A", True),
+     T(B + "#s", DC + "creator", "B", True)])
+
+w3c("resource-only-subject-10", "@resource is the subject fallback "
+    "in RDFa 1.0 (no rel/rev, no about)",
+    '<div resource="r.html" property="dc:title">T</div>',
+    [T("http://example.com/r.html", DC + "title", "T", True)],
+    combos=[("xhtml", "1.0")])
