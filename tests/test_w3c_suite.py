@@ -1234,3 +1234,77 @@ w3c("resource-only-subject-10", "@resource is the subject fallback "
     '<div resource="r.html" property="dc:title">T</div>',
     [T("http://example.com/r.html", DC + "title", "T", True)],
     combos=[("xhtml", "1.0")])
+
+
+# ---------------------------------------------------------------------------
+# Batch 5: extension attributes (longdesc/cite/graph), embedded
+# RDF/XML per host, role on the xml host
+# ---------------------------------------------------------------------------
+POWDER = "http://www.w3.org/2007/05/powder-s#"
+
+CASES.append(Case(
+    "rdfxml-off-xhtml/xhtml+1.1",
+    "rdf:RDF islands are IGNORED in the xhtml host "
+    "(embedded_rdfxml=0 default) while surrounding RDFa still walks",
+    "xhtml", "1.1",
+    doc(f'<rdf:RDF xmlns:rdf="{RDF}"><rdf:Description '
+        f'rdf:about="http://x.org/r"><dc:title xmlns:dc="{DC}">T'
+        f'</dc:title></rdf:Description></rdf:RDF>'
+        f'<p about="#s" property="dc:title">P</p>', "xhtml", "1.1"),
+    [T(B + "#s", DC + "title", "P", True)],
+    absent=[T("http://x.org/r", DC + "title", "T", True)]))
+CASES.append(Case(
+    "rdfxml-on-xhtml/xhtml+1.1",
+    "embedded_rdfxml=1 opt-in parses the island",
+    "xhtml", "1.1",
+    doc(f'<rdf:RDF xmlns:rdf="{RDF}"><rdf:Description '
+        f'rdf:about="http://x.org/r"><dc:title xmlns:dc="{DC}">T'
+        f'</dc:title></rdf:Description></rdf:RDF>', "xhtml", "1.1"),
+    [T("http://x.org/r", DC + "title", "T", True)],
+    opts={"embedded_rdfxml": 1}))
+
+CASES.append(Case(
+    "longdesc/xhtml+1.1",
+    "@longdesc extension emits powder describedby "
+    "(Parser.pm:1493-1514)",
+    "xhtml", "1.1",
+    doc('<img about="#i" longdesc="desc.html" src="i.png"/>',
+        "xhtml", "1.1"),
+    [T(B + "#i", POWDER + "describedby",
+       "http://example.com/desc.html")],
+    opts={"longdesc_attr": True}))
+
+CASES.append(Case(
+    "cite-attr/xhtml+1.1",
+    "@cite extension emits xhv:cite from the element's subject",
+    "xhtml", "1.1",
+    doc('<blockquote about="#q" cite="src.html">x</blockquote>',
+        "xhtml", "1.1"),
+    [T(None, XHV + "cite", "http://example.com/src.html")],
+    opts={"cite_attr": True}))
+
+
+def test_graph_attr_emits_quads():
+    """Named-graph extension: triples inside @graph scope land in the
+    graph column (KjetilK extension, Parser.pm:929-957)."""
+    from rdfa_spark.core import make_config, parse_rdfa
+    markup = doc('<div graph="[ex:g]"><p about="#s" '
+                 'property="dc:title">A</p></div>'
+                 '<p about="#t" property="dc:title">B</p>',
+                 "xhtml", "1.1")
+    w = parse_rdfa(markup, B, make_config("xhtml", "1.1", graph=1,
+                                          graph_type="about"))
+    got = {(t.subj, t.graph) for t in w.triples
+           if t.pred == DC + "title"}
+    assert (B + "#s", EX + "g") in got
+    assert (B + "#t", None) in got
+
+
+for host in ("xml",):
+    CASES.append(Case(
+        f"role-xml/{host}+1.1", "@role works in the generic xml "
+        "host (xml-rdfa11-role suite)",
+        host, "1.1",
+        f'<data id="w" role="banner"/>',
+        [T(B + "#w", XHV + "role", XHV + "banner")],
+        opts={"role_attr": True}))
