@@ -215,6 +215,15 @@ def q_bgp_article(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("m", "o", "title")
 
 
+def q_nt_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 serialization sink as a graded query: N-Triples lines from
+    the extracted KG, pure column expressions (whole-stage codegen) —
+    mirrored by oracle.NT_LINES_SQL with the identical escaping
+    chain."""
+    from rdfa_spark.sinks import ntriples_lines
+    return ntriples_lines(_triples(spark, sf_dir))
+
+
 def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish pre-tokenizer token counts (lookahead-free GPT-2-style
     regex, JVM-side regexp_extract_all) — mirrored by
@@ -427,6 +436,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "token_bpe": q_token_bpe,
         "bgp_article": q_bgp_article,
+        "nt_lines": q_nt_lines,
         "dedup_minhash": q_dedup_minhash,
         "minhash_signature": q_minhash_signature,
         "minhash_band_pairs": q_minhash_band_pairs,
@@ -460,6 +470,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": oracle._dedup_simhash_sql(3),
         "token_bpe": oracle.TOKEN_BPE_SQL,
         "bgp_article": oracle.BGP_ARTICLE_SQL,
+        "nt_lines": oracle.NT_LINES_SQL,
         "dedup_minhash": oracle._dedup_minhash_sql(),
         "minhash_signature": oracle.MINHASH_SIGNATURE_SQL,
         "minhash_band_pairs": oracle.MINHASH_BAND_PAIRS_SQL,

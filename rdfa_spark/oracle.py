@@ -147,6 +147,25 @@ SELECT url, 'x', NULL, NULL, NULL, NULL, NULL, NULL, NULL,
 FROM d
 """
 
+# N-Triples sink lines over the extracted KG — mirror of
+# rdfa_spark.sinks.ntriples_lines (escaping chain \\ \n \r \t \")
+# over the same trip CTE.  DuckDB single-quoted strings take
+# backslashes literally, so '\n' below is the two-character escape
+# sequence N-Triples wants.
+NT_LINES_SQL = TRIPLES_CTE + """
+SELECT '<' || subj || '> <' || pred || '> ' ||
+  CASE WHEN obj_is_literal THEN
+    '"' || replace(replace(replace(replace(replace(obj,
+          '\', '\\'), chr(10), '\n'), chr(13), '\r'),
+          chr(9), '\t'), '"', '\"') || '"'
+    || CASE WHEN obj_datatype IS NOT NULL
+            THEN '^^<' || obj_datatype || '>'
+            WHEN obj_lang IS NOT NULL THEN '@' || obj_lang
+            ELSE '' END
+  ELSE '<' || obj || '>' END || ' .' AS value
+FROM trip
+"""
+
 # Conjunctive BGP over the extracted KG: ?m a schema:Article ;
 # ?m dct:relation ?o . ?o dct:title ?title — two triple-pattern
 # subjects joined through the shared ?o variable (the reference's
