@@ -63,3 +63,23 @@ def start_extraction(spark: SparkSession, src_dir: str, out_dir: str,
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_pages_stream(pages_stream: DataFrame,
+                       watermark: str = "10 minutes",
+                       text_col: str = "text") -> DataFrame:
+    """Streaming exact dedup: drop pages whose content fingerprint
+    was already seen within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keys state on the md5
+    fingerprint and evicts entries once the event-time watermark
+    passes them — state is O(distinct fingerprints per horizon), not
+    O(stream length), which is what makes exact dedup feasible on an
+    unbounded crawl (the batch analogue is
+    ``pipeline.dedup.dedup_exact``; cross-horizon near-dups belong to
+    the batch MinHash path over the materialized corpus)."""
+    fp = pages_stream.withColumn(
+        "_fp", F.md5(F.coalesce(F.col(text_col), F.lit(""))))
+    return (fp.withWatermark("warc_ts", watermark)
+            .dropDuplicatesWithinWatermark(["_fp"])
+            .drop("_fp"))
