@@ -46,16 +46,22 @@ def _compare(spark, sf_dir, name):
                                   check_exact=True)
 
 
-@pytest.mark.parametrize("name", [
-    "rdfa_triples", "rdfa_og_title", "rdfa_pred_counts", "rdfa_text",
-    "rdfa_errors", "og_collect", "extract_all",
-    "entity_mentions", "entity_canonical", "cc_chain", "token_stats",
-    "doc_fingerprint", "language_id", "quality_score", "dedup_exact",
-    "dedup_minhash",
-    "minhash_signature", "minhash_band_pairs", "ann_topk",
-    "ann_ivf_topk", "ann_lsh_topk", "simhash_signature",
-    "event_sessions", "revenue_by_nation", "embedding_near_dup",
-])
+def _all_query_names():
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __spark_entry__ as entry_mod
+    return sorted(entry_mod.queries())
+
+
+def test_every_query_has_an_oracle():
+    """The driver records a weaker rows-only check for oracle-less
+    queries; keep the contract fully oracled."""
+    import __spark_entry__ as entry_mod
+    assert set(entry_mod.queries()) == set(entry_mod.oracle_sql())
+
+
+@pytest.mark.parametrize("name", _all_query_names())
 def test_query_matches_oracle(spark, sf_dir, name):
     _compare(spark, sf_dir, name)
 
