@@ -1308,3 +1308,79 @@ for host in ("xml",):
         f'<data id="w" role="banner"/>',
         [T(B + "#w", XHV + "role", XHV + "banner")],
         opts={"role_attr": True}))
+
+
+# ---------------------------------------------------------------------------
+# Batch 6: <base> fragment handling, bare-prefix CURIEs,
+# vocab-driven @typeof terms, meta-in-body, more lang combos
+# ---------------------------------------------------------------------------
+for host, ver in COMBOS_ALL:
+    m = doc('<p about="" property="dc:title">T</p>', host, ver) \
+        .replace("<title>t</title>",
+                 '<title>t</title>'
+                 '<base href="http://b.example/x#frag"/>')
+    CASES.append(Case(f"base-frag-empty-about/{host}+{ver}",
+                      "@about='' against a fragmented <base>: "
+                      "fragment stripped", host, ver, m,
+                      [T("http://b.example/x", DC + "title", "T",
+                         True)]))
+    m2 = doc('<p about="#f" property="dc:title">T</p>', host, ver) \
+        .replace("<title>t</title>",
+                 '<title>t</title>'
+                 '<base href="http://b.example/x#frag"/>')
+    CASES.append(Case(f"base-frag-about-frag/{host}+{ver}",
+                      "fragment @about replaces the base fragment",
+                      host, ver, m2,
+                      [T("http://b.example/x#f", DC + "title", "T",
+                         True)]))
+
+w3c("bare-prefix-curie", "'dc:' with empty local part expands to "
+    "the namespace IRI",
+    '<p about="#s" property="dc:">T</p>',
+    [T(B + "#s", DC, "T", True)])
+
+w3c("vocab-typeof-term", "@vocab resolves bare @typeof terms",
+    '<div vocab="http://schema.org/"><div typeof="Person">'
+    '<span property="name">N</span></div></div>',
+    [T("?b", RDF + "type", SCH + "Person"),
+     T("?b", SCH + "name", "N", True)],
+    combos=COMBOS_11)
+
+w3c("prop-typeof-about", "@property + @typeof + @about: literal AND "
+    "type both attach to the @about subject (no property-copy)",
+    '<p about="#s" typeof="ex:Thing" property="dc:title">T</p>',
+    [T(B + "#s", RDF + "type", EX + "Thing"),
+     T(B + "#s", DC + "title", "T", True)],
+    combos=COMBOS_11)
+
+w3c("meta-in-body", "<meta property content> works in <body> too",
+    '<meta about="#s" property="dc:title" content="M"/>',
+    [T(B + "#s", DC + "title", "M", True)],
+    combos=[("html5", "1.1"), ("html4", "1.1"), ("xhtml5", "1.1")])
+
+# widen earlier limited-combo behaviors across their full suites
+w3c("0013w", "inner xml:lang overrides outer (html5/xhtml5)",
+    '<div xml:lang="en"><p xml:lang="fr" about="photo1.jpg" '
+    'property="dc:title">Photo</p></div>',
+    [T("http://example.com/photo1.jpg", DC + "title", "Photo",
+       True, None, "fr")],
+    combos=[("html5", "1.1"), ("html5", "1.0")])
+w3c("0013l", "inner lang overrides outer (lang attr hosts)",
+    '<div lang="en"><p lang="fr" about="photo1.jpg" '
+    'property="dc:title">Photo</p></div>',
+    [T("http://example.com/photo1.jpg", DC + "title", "Photo",
+       True, None, "fr")],
+    combos=[("html4", "1.0"), ("html4", "1.1"), ("html5", "1.1"),
+            ("xhtml5", "1.1")])
+w3c("content-lang-w", "@content carries inherited lang "
+    "(lang-attr hosts)",
+    '<div lang="it"><p about="#s" property="dc:title" '
+    'content="C">x</p></div>',
+    [T(B + "#s", DC + "title", "C", True, None, "it")],
+    combos=[("html4", "1.1"), ("html5", "1.1"), ("xhtml5", "1.1")])
+w3c("lang-reset-w", "empty lang resets to no language "
+    "(lang-attr hosts)",
+    '<div lang="en"><p lang="" about="#s" property="dc:title">T'
+    '</p></div>',
+    [T(B + "#s", DC + "title", "T", True, None, None)],
+    combos=[("html4", "1.1"), ("html5", "1.1"), ("xhtml5", "1.1")])
