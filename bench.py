@@ -258,9 +258,15 @@ def _executor_sim(exec_cores: int, replicate: int) -> dict:
     def budget_left(need: float) -> bool:
         return time.time() - start + 1.2 * need < budget_sec
 
+    # the second 4-exec sample is the highest-value spend (noise can
+    # only depress a concurrent sample, so max-of-2 recovers a bad
+    # draw); take it even when the budget can't also afford another
+    # 1-exec sample
     if eff_now() < 0.8 and budget_left(four_cost + one_cost):
         fours.append(four())
         ones.append(one())
+    elif eff_now() < 0.8 and budget_left(four_cost):
+        fours.append(four())
     while (eff_now() < 0.8 and len(ones) < 4
            and budget_left(one_cost)):
         ones.append(one())
