@@ -1384,3 +1384,78 @@ w3c("lang-reset-w", "empty lang resets to no language "
     '</p></div>',
     [T(B + "#s", DC + "title", "T", True, None, None)],
     combos=[("html4", "1.1"), ("html5", "1.1"), ("xhtml5", "1.1")])
+
+
+# ---------------------------------------------------------------------------
+# Batch 7: full @datetime sniff ladder, reserved-link handling,
+# @about on <head>
+# ---------------------------------------------------------------------------
+LADDER = [
+    ("2020-01-02T03:04:05", XSD + "dateTime"),
+    ("2020-01-02T03:04:05.123Z", XSD + "dateTime"),
+    ("2020-01-02T03:04+05:30", XSD + "dateTime"),
+    ("03:04:05", XSD + "time"),
+    ("03:04:05.5Z", XSD + "time"),
+    ("2020-01-02", XSD + "date"),
+    ("2020-01-02Z", XSD + "date"),
+    ("2020-01", XSD + "gYearMonth"),
+    ("2020", XSD + "gYear"),
+    ("-0044", XSD + "gYear"),
+    ("--01-02", XSD + "gMonthDay"),
+    ("---02", XSD + "gDay"),
+    ("--01", XSD + "gMonth"),
+    ("P1Y2M3D", XSD + "duration"),
+    ("PT8H30M", XSD + "duration"),
+    ("P1YT0.5S", XSD + "duration"),
+]
+for val, dt in LADDER:
+    safe = val.replace(":", "").replace(".", "_")
+    w3c(f"dtladder-{safe}", f"@datetime sniffs {dt.split('#')[1]}",
+        f'<time about="#s" property="dc:date" datetime="{val}">x'
+        f'</time>',
+        [T(B + "#s", DC + "date", val, True, dt)],
+        combos=[("html5", "1.1")])
+
+w3c("dtladder-nomatch", "unsniffable @datetime stays a plain literal",
+    '<time about="#s" property="dc:date" datetime="soonish">x'
+    '</time>',
+    [T(B + "#s", DC + "date", "soonish", True, None)],
+    combos=[("html5", "1.1")])
+
+w3c("datetime-on-ins", "@datetime works on non-<time> elements too "
+    "(ins/del)",
+    '<ins about="#s" property="dc:date" datetime="2020-01-02">x'
+    '</ins>',
+    [T(B + "#s", DC + "date", "2020-01-02", True, XSD + "date")],
+    combos=[("html5", "1.1"), ("html4", "1.1")])
+
+# reserved-link special case: rel="alternate stylesheet"
+for opts, desc, expect, absent in [
+    (None, "default: alternate+stylesheet emit their xhv terms",
+     [T(B, XHV + "alternate", "http://example.com/s.css"),
+      T(B, XHV + "stylesheet", "http://example.com/s.css")], []),
+    ({"alt_stylesheet": True},
+     "alt_stylesheet flag fuses the token pair "
+     "(XHTML+RDFa 1.0 special, Parser.pm alt_stylesheet)",
+     [T(B, XHV + "ALTERNATE-STYLESHEET",
+        "http://example.com/s.css")],
+     [T(B, XHV + "stylesheet", None)]),
+]:
+    markup = doc("", "xhtml", "1.1").replace(
+        "<title>t</title>",
+        '<title>t</title><link rel="alternate stylesheet" '
+        'href="s.css"/>')
+    CASES.append(Case(
+        f"altsheet-{'on' if opts else 'off'}/xhtml+1.1", desc,
+        "xhtml", "1.1", markup, expect, absent, opts=opts))
+
+for host, ver in COMBOS_11:
+    markup = doc("", host, ver).replace(
+        "<head>", '<head about="http://x.org/h">').replace(
+        "<title>t</title>",
+        '<title>t</title><meta property="dc:title" content="H"/>')
+    CASES.append(Case(f"about-on-head/{host}+{ver}",
+                      "@about on <head> rescopes head metadata",
+                      host, ver, markup,
+                      [T("http://x.org/h", DC + "title", "H",
+                         True)]))
