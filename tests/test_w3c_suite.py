@@ -1459,3 +1459,70 @@ for host, ver in COMBOS_11:
                       host, ver, markup,
                       [T("http://x.org/h", DC + "title", "H",
                          True)]))
+
+
+# ---------------------------------------------------------------------------
+# Batch 8: XMLLiteral recursion 1.0 vs 1.1, object-resolution
+# fallbacks, undefined terms, inlist with @content
+# ---------------------------------------------------------------------------
+# RDFa 1.0: markup children -> XMLLiteral and the subtree is
+# SHIELDED (no recursion, xmllit_recurse=False); RDFa 1.1 with an
+# explicit rdf:XMLLiteral datatype still WALKS the subtree
+# (xmllit_recurse=True) — both the literal and the inner triple.
+w3c("xmllit-shield-10", "XMLLiteral subtree is shielded in 1.0",
+    '<p about="#s" property="dc:title">E <b about="#x" '
+    'property="dc:creator">M</b></p>',
+    [T(B + "#s", DC + "title",
+       'E <b xmlns="http://www.w3.org/1999/xhtml" about="#x" '
+       'property="dc:creator">M</b>', True, RDF + "XMLLiteral")],
+    absent=[T(B + "#x", DC + "creator", "M", True)],
+    combos=[("xhtml", "1.0")])
+CASES.append(Case(
+    "xmllit-recurse-11/xhtml+1.1",
+    "1.1 explicit XMLLiteral also walks the subtree",
+    "xhtml", "1.1",
+    doc(f'<p about="#s" property="dc:title" '
+        f'datatype="rdf:XMLLiteral" xmlns:rdf="{RDF}">E <b '
+        f'about="#x" property="dc:creator">M</b></p>', "xhtml",
+        "1.1"),
+    [T(B + "#s", DC + "title",
+       'E <b xmlns="http://www.w3.org/1999/xhtml" about="#x" '
+       'property="dc:creator">M</b>', True, RDF + "XMLLiteral"),
+     T(B + "#x", DC + "creator", "M", True)]))
+
+w3c("res-undef-href-fallback", "undefined SafeCURIE in @resource is "
+    "ignored; @href supplies the object",
+    '<a about="#s" rel="dc:source" resource="[undef:x]" '
+    'href="h.html">x</a>',
+    [T(B + "#s", DC + "source", "http://example.com/h.html")],
+    combos=COMBOS_11)
+
+w3c("undef-term-rel-chains", "undefined bare term in @rel emits "
+    "nothing but @resource still rescopes children",
+    '<div rel="frobnicate" resource="#o"><p property="dc:title">T'
+    '</p></div>',
+    [T(B + "#o", DC + "title", "T", True)],
+    absent=[T(B, None, B + "#o")],
+    combos=COMBOS_11)
+
+for host, ver in COMBOS_11:
+    markup = doc("", host, ver).replace(
+        "<title>t</title>",
+        '<title>t</title><link property="dc:source" '
+        'href="x.html"/>')
+    CASES.append(Case(f"link-prop-href/{host}+{ver}",
+                      "1.1 <link property href>: IRI object in head",
+                      host, ver, markup,
+                      [T(B, DC + "source",
+                         "http://example.com/x.html")]))
+
+w3c("inlist-content", "@content literals join @inlist lists in "
+    "document order",
+    '<div about="#s"><p property="ex:t" inlist="" content="c1">x'
+    '</p><p property="ex:t" inlist="">c2</p></div>',
+    [T(B + "#s", EX + "t", "?l1"),
+     T("?l1", RDF + "first", "c1", True),
+     T("?l1", RDF + "rest", "?l2"),
+     T("?l2", RDF + "first", "c2", True),
+     T("?l2", RDF + "rest", RDF + "nil")],
+    combos=COMBOS_11)
