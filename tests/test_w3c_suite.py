@@ -1526,3 +1526,63 @@ w3c("inlist-content", "@content literals join @inlist lists in "
      T("?l2", RDF + "first", "c2", True),
      T("?l2", RDF + "rest", RDF + "nil")],
     combos=COMBOS_11)
+
+
+# ---------------------------------------------------------------------------
+# Batch 9: role edge cases, 1.1 @src objects on embeds, CURIE local
+# parts, @prefix scoping, parallel @inlist lists
+# ---------------------------------------------------------------------------
+for host, ver in ROLE_COMBOS:
+    CASES.append(Case(
+        f"role-with-about/{host}+{ver}",
+        "@role keys on @id even when @about present (Role spec)",
+        host, ver,
+        doc('<div about="#s" id="w" role="banner">x</div>', host,
+            ver),
+        [T(B + "#w", XHV + "role", XHV + "banner")],
+        absent=[T(B + "#s", XHV + "role", None)],
+        opts={"role_attr": True}))
+    CASES.append(Case(
+        f"role-iri/{host}+{ver}",
+        "@role accepts absolute IRIs",
+        host, ver,
+        doc('<div id="w" role="http://example.org/R">x</div>', host,
+            ver),
+        [T(B + "#w", XHV + "role", "http://example.org/R")],
+        opts={"role_attr": True}))
+
+w3c("src-iframe", "1.1 @src on iframe supplies the @rel object",
+    '<iframe about="#s" rel="dc:source" src="f.html"></iframe>',
+    [T(B + "#s", DC + "source", "http://example.com/f.html")],
+    combos=[("html5", "1.1"), ("html4", "1.1"), ("xhtml5", "1.1")])
+
+w3c("curie-numeric-local", "CURIE local parts may start with digits",
+    '<p about="#s" property="dc:123">T</p>',
+    [T(B + "#s", DC + "123", "T", True)])
+
+w3c("prefix-redeclare-scoped", "@prefix redeclaration of a known "
+    "prefix is subtree-scoped",
+    '<div prefix="dc: http://other.example/ns#">'
+    '<p about="#a" property="dc:x">A</p></div>'
+    '<p about="#b" property="dc:title">B</p>',
+    [T(B + "#a", "http://other.example/ns#x", "A", True),
+     T(B + "#b", DC + "title", "B", True)],
+    combos=COMBOS_11)
+
+w3c("parallel-inlists", "distinct @inlist predicates build distinct "
+    "lists on one subject",
+    '<div about="#s"><p property="ex:t" inlist="">a</p>'
+    '<p property="ex:u" inlist="">b</p></div>',
+    [T(B + "#s", EX + "t", "?l1"),
+     T("?l1", RDF + "first", "a", True),
+     T("?l1", RDF + "rest", RDF + "nil"),
+     T(B + "#s", EX + "u", "?l2"),
+     T("?l2", RDF + "first", "b", True),
+     T("?l2", RDF + "rest", RDF + "nil")],
+    combos=COMBOS_11)
+
+w3c("typeof-newline-tokens", "@typeof tokens split on any "
+    "whitespace incl. newlines",
+    '<div about="#s" typeof="ex:A\n   ex:B">x</div>',
+    [T(B + "#s", RDF + "type", EX + "A"),
+     T(B + "#s", RDF + "type", EX + "B")])
