@@ -1586,3 +1586,72 @@ w3c("typeof-newline-tokens", "@typeof tokens split on any "
     '<div about="#s" typeof="ex:A\n   ex:B">x</div>',
     [T(B + "#s", RDF + "type", EX + "A"),
      T(B + "#s", RDF + "type", EX + "B")])
+
+
+# ---------------------------------------------------------------------------
+# Batch 10: atom/datarss under RDFa 1.0, html32 specials, svg core
+# widening (the svg EARL suite runs the same numbered core cases)
+# ---------------------------------------------------------------------------
+for host in ("atom", "datarss"):
+    CASES.append(Case(
+        f"{host}-10-entry/{host}+1.0",
+        "entry bnode subject also under RDFa 1.0",
+        host, "1.0",
+        f'<feed xmlns="{ATOM_NS}" xmlns:dc="{DC}"><entry>'
+        f'<title property="dc:title">A</title></entry></feed>',
+        [T("?e", DC + "title", "A", True)]))
+    CASES.append(Case(
+        f"{host}-10-link/{host}+1.0",
+        "IANA rel vocabulary under RDFa 1.0",
+        host, "1.0",
+        f'<feed xmlns="{ATOM_NS}">'
+        f'<link rel="self" href="http://x.org/f"/></feed>',
+        [T(B, IANA + "self", "http://x.org/f")]))
+
+CASES.append(Case(
+    "html32-value/html32+1.1", "html32+1.1 enables @value",
+    "html32", "1.1",
+    f'<html xmlns:ex="{EX}"><body><data about="#s" '
+    f'property="ex:n" value="7">seven</data></body></html>',
+    [T(B + "#s", EX + "n", "7", True)]))
+CASES.append(Case(
+    "html32-no-xmlbase/html32+1.1", "html32 ignores xml:base "
+    "(xml_base=0)",
+    "html32", "1.1",
+    f'<html xmlns:dc="{DC}"><body>'
+    f'<div xml:base="http://other.example/">'
+    f'<p about="r" property="dc:title">T</p></div></body></html>',
+    [T("http://example.com/r", DC + "title", "T", True)]))
+
+SVGX = f'<svg xmlns="{SVG_NS}" xmlns:dc="{DC}" xmlns:foaf="{FOAF}" ' \
+       f'xmlns:ex="{EX}" xmlns:xsd="{XSD}">'
+for num, desc, body, expect in [
+    ("rev", "@rev on svg elements",
+     '<g about="#s" rev="dc:source" resource="#o"/>',
+     [T(B + "#o", DC + "source", B + "#s")]),
+    ("typeof", "@typeof types a bnode in svg",
+     '<g typeof="foaf:Person"><desc property="foaf:name" '
+     'content="N"/></g>',
+     [T("?b", RDF + "type", FOAF + "Person"),
+      T("?b", FOAF + "name", "N", True)]),
+    ("datatype", "typed literals in svg",
+     '<desc about="#s" property="ex:n" content="5" '
+     'datatype="xsd:integer">five</desc>',
+     [T(B + "#s", EX + "n", "5", True, XSD + "integer")]),
+    ("inlist", "@inlist builds ordered lists in svg",
+     '<g about="#s"><desc property="ex:t" inlist="">a</desc>'
+     '<desc property="ex:t" inlist="">b</desc></g>',
+     [T(B + "#s", EX + "t", "?l1"),
+      T("?l1", RDF + "first", "a", True),
+      T("?l1", RDF + "rest", "?l2"),
+      T("?l2", RDF + "first", "b", True),
+      T("?l2", RDF + "rest", RDF + "nil")]),
+    ("safecurie", "SafeCURIE subjects in svg",
+     '<desc about="[ex:s]" property="dc:title">T</desc>',
+     [T(EX + "s", DC + "title", "T", True)]),
+    ("hanging-rel", "hanging @rel completion in svg",
+     '<g about="#s" rel="dc:source"><circle about="#o"/></g>',
+     [T(B + "#s", DC + "source", B + "#o")]),
+]:
+    CASES.append(Case(f"svg-{num}/svg+1.1", desc, "svg", "1.1",
+                      SVGX + body + "</svg>", expect))
