@@ -1655,3 +1655,53 @@ for num, desc, body, expect in [
 ]:
     CASES.append(Case(f"svg-{num}/svg+1.1", desc, "svg", "1.1",
                       SVGX + body + "</svg>", expect))
+
+
+# ---------------------------------------------------------------------------
+# Batch 11: CDATA/PI text handling, self-scoped declarations,
+# vocab terms in @datatype, case-insensitive CURIE prefixes
+# ---------------------------------------------------------------------------
+CASES.append(Case(
+    "cdata-literal/xml+1.1",
+    "CDATA sections contribute raw text to plain literals",
+    "xml", "1.1",
+    f'<data xmlns:dc="{DC}"><item about="#s" property="dc:title">'
+    f'<![CDATA[A & B <x>]]></item></data>',
+    [T(B + "#s", DC + "title", "A & B <x>", True)]))
+
+CASES.append(Case(
+    "pi-ignored/xml+1.1",
+    "processing instructions and comments don't leak into literals",
+    "xml", "1.1",
+    f'<data xmlns:dc="{DC}"><?pi ignore?><item about="#s" '
+    f'property="dc:title">A<!-- no -->B</item></data>',
+    [T(B + "#s", DC + "title", "AB", True)]))
+
+w3c("self-scoped-xmlns", "xmlns declared on the element applies to "
+    "that element's own attributes",
+    f'<p xmlns:q="{EX}" about="#s" property="q:x">T</p>',
+    [T(B + "#s", EX + "x", "T", True)])
+
+w3c("area-href", "@rel + @href on <area>",
+    '<map><area about="#s" rel="dc:source" href="a.html"/></map>',
+    [T(B + "#s", DC + "source", "http://example.com/a.html")],
+    combos=[("html5", "1.1"), ("html4", "1.1"), ("xhtml5", "1.1")])
+
+w3c("vocab-datatype-term", "@vocab terms resolve in @datatype "
+    "(TERMorCURIEorAbsIRI)",
+    '<div vocab="http://example.org/"><p about="#s" '
+    'property="dc:title" datatype="mytype">T</p></div>',
+    [T(B + "#s", DC + "title", "T", True, EX + "mytype")],
+    combos=COMBOS_11)
+
+w3c("prefix-nocase-use", "CURIE prefixes match case-insensitively "
+    "at use site (1.1 prefix_nocase)",
+    "", [], combos=[])
+for host, ver in COMBOS_11:
+    markup = doc(f'<div prefix="myp: {EX}">'
+                 f'<p about="#s" property="MYP:x">T</p></div>',
+                 host, ver)
+    CASES.append(Case(f"w3c-prefix-nocase-use/{host}+{ver}",
+                      "uppercase CURIE prefix at use site",
+                      host, ver, markup,
+                      [T(B + "#s", EX + "x", "T", True)]))
