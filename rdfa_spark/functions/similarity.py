@@ -350,15 +350,16 @@ def embedding_near_dup_pairs(items: DataFrame, threshold: float = 0.95,
               .select(id_col, "_v", "b.band_id", "b.sig"))
     dropped = None
     if max_bucket is not None:
-        sizes = banded.groupBy("band_id", "sig").agg(
-            F.count("*").alias("_bn"))
-        dropped = (sizes.filter(F.col("_bn") > max_bucket)
+        # window count on the join key (single shuffle, reusable by
+        # the self-join's exchange) instead of groupBy+semi-join
+        w = Window.partitionBy("band_id", "sig")
+        banded = banded.withColumn("_bn", F.count("*").over(w))
+        dropped = (banded.filter(F.col("_bn") > max_bucket)
                    .select("band_id", "sig",
-                           F.col("_bn").alias("n_members")))
-        banded = banded.join(
-            sizes.filter(F.col("_bn") <= max_bucket)
-                 .select("band_id", "sig"),
-            ["band_id", "sig"])
+                           F.col("_bn").alias("n_members"))
+                   .distinct())
+        banded = banded.filter(F.col("_bn") <= max_bucket) \
+                       .drop("_bn")
     # materialize signatures once; the self-join would recompute the
     # plane arithmetic on both sides otherwise
     banded = banded.localCheckpoint(eager=False)

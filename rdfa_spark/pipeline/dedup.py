@@ -141,15 +141,16 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
                 .select(id_col, "simhash", "b.word_id", "b.word")
     dropped = None
     if max_block is not None:
-        sizes = blocked.groupBy("word_id", "word").agg(
-            F.count("*").alias("_bn"))
-        dropped = (sizes.filter(F.col("_bn") > max_block)
+        # window count on the join key (single shuffle, reusable by
+        # the self-join's exchange) instead of groupBy+semi-join
+        w = Window.partitionBy("word_id", "word")
+        blocked = blocked.withColumn("_bn", F.count("*").over(w))
+        dropped = (blocked.filter(F.col("_bn") > max_block)
                    .select("word_id", "word",
-                           F.col("_bn").alias("n_members")))
-        blocked = blocked.join(
-            sizes.filter(F.col("_bn") <= max_block)
-                 .select("word_id", "word"),
-            ["word_id", "word"])
+                           F.col("_bn").alias("n_members"))
+                   .distinct())
+        blocked = blocked.filter(F.col("_bn") <= max_block) \
+                         .drop("_bn")
     a, b = blocked.alias("a"), blocked.alias("b")
     cand = (a.join(b, ["word_id", "word"])
             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

@@ -243,15 +243,18 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str,
     banded = banded.localCheckpoint(eager=False)
     dropped = None
     if max_bucket is not None:
-        sizes = banded.groupBy("band_id", "band_hash").agg(
-            F.count("*").alias("_bn"))
-        dropped = (sizes.filter(F.col("_bn") > max_bucket)
+        # window count over the join key: ONE shuffle, on the same
+        # key the self-join below shuffles on (exchange reuse) —
+        # cheaper than a groupBy+semi-join pair
+        from pyspark.sql import Window
+        w = Window.partitionBy("band_id", "band_hash")
+        banded = banded.withColumn("_bn", F.count("*").over(w))
+        dropped = (banded.filter(F.col("_bn") > max_bucket)
                    .select("band_id", "band_hash",
-                           F.col("_bn").alias("n_members")))
-        banded = banded.join(
-            sizes.filter(F.col("_bn") <= max_bucket)
-                 .select("band_id", "band_hash"),
-            ["band_id", "band_hash"])
+                           F.col("_bn").alias("n_members"))
+                   .distinct())
+        banded = banded.filter(F.col("_bn") <= max_bucket) \
+                       .drop("_bn")
     a, b = banded.alias("a"), banded.alias("b")
     out = (a.join(b, ["band_id", "band_hash"])
            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
