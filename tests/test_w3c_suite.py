@@ -1705,3 +1705,44 @@ for host, ver in COMBOS_11:
                       "uppercase CURIE prefix at use site",
                       host, ver, markup,
                       [T(B + "#s", EX + "x", "T", True)]))
+
+
+# ---------------------------------------------------------------------------
+# Batch 12: empty-value semantics, token hygiene, IRI/lang edges
+# ---------------------------------------------------------------------------
+w3c("empty-content", "@content='' asserts the empty literal "
+    "(not dropped)",
+    '<p about="#s" property="dc:title" content="">x</p>',
+    [T(B + "#s", DC + "title", "", True)])
+
+w3c("content-plus-empty-datatype", "@content with @datatype='' is "
+    "a plain literal of the content",
+    '<p about="#s" property="dc:title" content="c" datatype="">x'
+    '</p>',
+    [T(B + "#s", DC + "title", "c", True, None)])
+
+w3c("rel-token-whitespace", "@rel tokens survive leading/trailing/"
+    "internal whitespace runs",
+    '<a about="#s" rel="  dc:source   dc:relation  " href="o">x</a>',
+    [T(B + "#s", DC + "source", "http://example.com/o"),
+     T(B + "#s", DC + "relation", "http://example.com/o")])
+
+w3c("invalid-lang-dropped", "RFC-4646-invalid language tags are "
+    "dropped (literal stays, no lang)",
+    '<p xml:lang="123_???" about="#s" property="dc:title">T</p>',
+    [T(B + "#s", DC + "title", "T", True, None, None)],
+    combos=[("xhtml", "1.0"), ("xhtml", "1.1"), ("xhtml5", "1.1")])
+
+w3c("unicode-iri", "non-ASCII characters survive in resolved IRIs",
+    '<p about="café/日本" property="dc:title">T</p>',
+    [T("http://example.com/café/日本", DC + "title", "T", True)])
+
+w3c("hash-only-about", "@about='#' resolves to the base "
+    "(empty fragment collapses, RFC 3986 urljoin semantics)",
+    '<p about="#" property="dc:title">T</p>',
+    [T(B, DC + "title", "T", True)])
+
+w3c("empty-datetime", "@datetime='' yields the empty plain literal",
+    '<time about="#s" property="dc:date" datetime="">x</time>',
+    [T(B + "#s", DC + "date", "", True, None)],
+    combos=[("html5", "1.1")])
