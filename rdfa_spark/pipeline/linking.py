@@ -52,12 +52,14 @@ def exact_candidate_pairs(mentions: DataFrame,
                       & (F.col("entity_key") != ""))
               .distinct())
     if max_block is not None:
-        sizes = labels.groupBy("entity_key").agg(
-            F.count("*").alias("_block_n"))
-        labels = (labels.join(
-            sizes.filter(F.col("_block_n") <= max_block)
-                 .select("entity_key"),
-            "entity_key"))
+        # window count on the join key — one shuffle the self-join
+        # below can reuse, instead of a groupBy+semi-join pair
+        from pyspark.sql import Window
+        w = Window.partitionBy("entity_key")
+        labels = (labels
+                  .withColumn("_block_n", F.count("*").over(w))
+                  .filter(F.col("_block_n") <= max_block)
+                  .drop("_block_n"))
     a, b = labels.alias("a"), labels.alias("b")
     return (a.join(b, "entity_key")
             .filter(F.col("a.label") < F.col("b.label"))
