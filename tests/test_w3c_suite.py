@@ -1746,3 +1746,44 @@ w3c("empty-datetime", "@datetime='' yields the empty plain literal",
     '<time about="#s" property="dc:date" datetime="">x</time>',
     [T(B + "#s", DC + "date", "", True, None)],
     combos=[("html5", "1.1")])
+
+
+# ---------------------------------------------------------------------------
+# Batch 13: xml-host widening (the xml-rdfa11 EARL suite runs the
+# same numbered core cases against a generic XML document)
+# ---------------------------------------------------------------------------
+xmlcase("hanging-rel", "hanging @rel completed by child @about",
+        '<g about="#s" rel="dc:source"><item about="#o">x</item>'
+        '</g>',
+        [T(B + "#s", DC + "source", B + "#o")])
+xmlcase("content-override", "@content beats element text",
+        '<item about="#s" property="dc:title" content="C">x</item>',
+        [T(B + "#s", DC + "title", "C", True)],
+        absent=[T(B + "#s", DC + "title", "x", True)])
+xmlcase("multi-rel", "multiple @rel tokens fan out",
+        '<item about="#s" rel="dc:source dc:relation" '
+        'resource="#o">x</item>',
+        [T(B + "#s", DC + "source", B + "#o"),
+         T(B + "#s", DC + "relation", B + "#o")])
+xmlcase("empty-about", "@about='' is the base",
+        '<item about="" property="dc:title">T</item>',
+        [T(B, DC + "title", "T", True)])
+xmlcase("typeof-about", "@typeof types the @about subject",
+        '<item about="#s" typeof="foaf:Person" '
+        'property="foaf:name" content="N">x</item>',
+        [T(B + "#s", RDF + "type", FOAF + "Person"),
+         T(B + "#s", FOAF + "name", "N", True)])
+xmlcase("rel-rev", "@rel and @rev on one element",
+        '<item about="#s" rel="dc:source" rev="dc:relation" '
+        'resource="#o">x</item>',
+        [T(B + "#s", DC + "source", B + "#o"),
+         T(B + "#o", DC + "relation", B + "#s")])
+xmlcase("rev-hanging", "hanging @rev completed by child subject",
+        '<g about="#s" rev="dc:source"><item about="#o">x</item>'
+        '</g>',
+        [T(B + "#o", DC + "source", B + "#s")])
+xmlcase("chain-resource", "@resource rescopes children",
+        '<g about="" rel="dc:source" resource="r">'
+        '<item property="dc:title">T</item></g>',
+        [T(B, DC + "source", "http://example.com/r"),
+         T("http://example.com/r", DC + "title", "T", True)])
