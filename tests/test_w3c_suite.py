@@ -1787,3 +1787,27 @@ xmlcase("chain-resource", "@resource rescopes children",
         '<item property="dc:title">T</item></g>',
         [T(B, DC + "source", "http://example.com/r"),
          T("http://example.com/r", DC + "title", "T", True)])
+
+
+# ---------------------------------------------------------------------------
+# Batch 14: per-host inlist-empty, relative <base>, rev hygiene
+# ---------------------------------------------------------------------------
+w3c("inlist-empty-nil", "@rel+@inlist with no members asserts "
+    "rdf:nil",
+    '<div about="#s" rel="dc:subject" inlist="">x</div>',
+    [T(B + "#s", DC + "subject", RDF + "nil")],
+    combos=COMBOS_11)
+
+for host, ver in COMBOS_ALL:
+    m = doc('<p about="r" property="dc:title">T</p>', host, ver) \
+        .replace("<title>t</title>",
+                 '<title>t</title><base href="sub/dir/"/>')
+    CASES.append(Case(f"base-relative/{host}+{ver}",
+                      "relative <base href> resolves against the "
+                      "retrieval IRI first", host, ver, m,
+                      [T("http://example.com/sub/dir/r",
+                         DC + "title", "T", True)]))
+
+w3c("rev-token-whitespace", "@rev tokens survive whitespace runs",
+    '<a about="#s" rev="  dc:source  " href="o">x</a>',
+    [T("http://example.com/o", DC + "source", B + "#s")])
