@@ -1811,3 +1811,47 @@ for host, ver in COMBOS_ALL:
 w3c("rev-token-whitespace", "@rev tokens survive whitespace runs",
     '<a about="#s" rev="  dc:source  " href="o">x</a>',
     [T("http://example.com/o", DC + "source", B + "#s")])
+
+
+# ---------------------------------------------------------------------------
+# Batch 15: @vocab over @rel terms, typed-resource composition with
+# @property, list-mapping lifecycle
+# ---------------------------------------------------------------------------
+w3c("vocab-rel-term", "@vocab resolves bare @rel terms too (1.1)",
+    '<div vocab="http://xmlns.com/foaf/0.1/"><a about="#s" '
+    'rel="knows" href="o">x</a></div>',
+    [T(B + "#s", FOAF + "knows", "http://example.com/o"),
+     T(B, RDFA + "usesVocabulary", FOAF)],
+    combos=COMBOS_11)
+
+w3c("res-typeof-prop", "@property + @resource + @typeof (no @about):"
+    " typed resource is the property's IRI value",
+    '<div property="dc:source" resource="#o" typeof="ex:Thing">text'
+    '</div>',
+    [T(B + "#o", RDF + "type", EX + "Thing"),
+     T(B, DC + "source", B + "#o")],
+    absent=[T(B, DC + "source", "text", True)],
+    combos=COMBOS_11)
+
+w3c("rel-prop-typeof-resource", "@rel and @property both take the "
+    "typed @resource as value",
+    '<div rel="dc:relation" property="dc:title" typeof="ex:Thing" '
+    'resource="#o">text</div>',
+    [T(B + "#o", RDF + "type", EX + "Thing"),
+     T(B, DC + "relation", B + "#o"),
+     T(B, DC + "title", B + "#o")],
+    combos=COMBOS_11)
+
+w3c("list-scope-per-element", "sibling elements with the same "
+    "subject each own a list mapping (no cross-element merge)",
+    '<div about="#s" rel="dc:subject" inlist="">'
+    '<span about="#a">a</span></div>'
+    '<div about="#s"><span property="dc:subject" inlist="">lit'
+    '</span></div>',
+    [T(B + "#s", DC + "subject", "?l1"),
+     T("?l1", RDF + "first", B + "#a"),
+     T("?l1", RDF + "rest", RDF + "nil"),
+     T(B + "#s", DC + "subject", "?l2"),
+     T("?l2", RDF + "first", "lit", True),
+     T("?l2", RDF + "rest", RDF + "nil")],
+    combos=COMBOS_11)
