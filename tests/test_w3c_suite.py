@@ -1848,10 +1848,10 @@ w3c("list-scope-per-element", "sibling elements with the same "
     '<span about="#a">a</span></div>'
     '<div about="#s"><span property="dc:subject" inlist="">lit'
     '</span></div>',
-    [T(B + "#s", DC + "subject", "?l1"),
-     T("?l1", RDF + "first", B + "#a"),
+    [T("?l1", RDF + "first", B + "#a"),
      T("?l1", RDF + "rest", RDF + "nil"),
-     T(B + "#s", DC + "subject", "?l2"),
      T("?l2", RDF + "first", "lit", True),
-     T("?l2", RDF + "rest", RDF + "nil")],
+     T("?l2", RDF + "rest", RDF + "nil"),
+     T(B + "#s", DC + "subject", "?l1"),
+     T(B + "#s", DC + "subject", "?l2")],
     combos=COMBOS_11)
