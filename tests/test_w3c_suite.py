@@ -702,7 +702,8 @@ def test_w3c_case(c):
 
 
 def test_w3c_breadth():
-    assert len(CASES) >= 250, len(CASES)
+    # grew through 15 batches in round 3; guard against regressions
+    assert len(CASES) >= 850, len(CASES)
 
 
 # ---------------------------------------------------------------------------
