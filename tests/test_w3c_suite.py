@@ -1856,3 +1856,49 @@ w3c("list-scope-per-element", "sibling elements with the same "
      T(B + "#s", DC + "subject", "?l1"),
      T(B + "#s", DC + "subject", "?l2")],
     combos=COMBOS_11)
+
+
+# ---------------------------------------------------------------------------
+# Batch 16: svg/xml instantiations of the 1.1 behaviors pinned in
+# batches 14-15 (the per-host suites run the same numbered cases)
+# ---------------------------------------------------------------------------
+xmlcase("vocab-rel-term", "@vocab resolves bare @rel terms (xml)",
+        '<g vocab="http://xmlns.com/foaf/0.1/"><item about="#s" '
+        'rel="knows" resource="#o">x</item></g>',
+        [T(B + "#s", FOAF + "knows", B + "#o")])
+xmlcase("res-typeof-prop", "typed @resource is @property's value "
+        "(xml)",
+        '<item property="dc:source" resource="#o" '
+        'typeof="ex:Thing">text</item>',
+        [T(B + "#o", RDF + "type", EX + "Thing"),
+         T(B, DC + "source", B + "#o")])
+xmlcase("prop-resource", "@property + @resource: IRI object (xml)",
+        '<item about="#s" property="dc:source" resource="#o">text'
+        '</item>',
+        [T(B + "#s", DC + "source", B + "#o")])
+xmlcase("empty-content", "@content='' asserts empty literal (xml)",
+        '<item about="#s" property="dc:title" content="">x</item>',
+        [T(B + "#s", DC + "title", "", True)])
+xmlcase("unicode-iri", "non-ASCII IRIs (xml)",
+        '<item about="café" property="dc:title">T</item>',
+        [T("http://example.com/café", DC + "title", "T", True)])
+
+svgcase("vocab-rel-term", "@vocab resolves bare @rel terms (svg)",
+        '<g vocab="http://xmlns.com/foaf/0.1/"><desc about="#s" '
+        'rel="knows" resource="#o">x</desc></g>',
+        [T(B + "#s", FOAF + "knows", B + "#o")])
+svgcase("prop-resource", "@property + @resource: IRI object (svg)",
+        '<desc about="#s" property="dc:source" resource="#o">text'
+        '</desc>',
+        [T(B + "#s", DC + "source", B + "#o")])
+svgcase("content-override", "@content beats element text (svg)",
+        '<desc about="#s" property="dc:title" content="C">x</desc>',
+        [T(B + "#s", DC + "title", "C", True)])
+svgcase("multi-property", "multiple @property tokens (svg)",
+        '<desc about="#s" property="dc:title dc:creator" '
+        'content="V">x</desc>',
+        [T(B + "#s", DC + "title", "V", True),
+         T(B + "#s", DC + "creator", "V", True)])
+svgcase("empty-about", "@about='' is the base (svg)",
+        '<desc about="" property="dc:title">T</desc>',
+        [T(B, DC + "title", "T", True)])
