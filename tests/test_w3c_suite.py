@@ -1902,3 +1902,56 @@ svgcase("multi-property", "multiple @property tokens (svg)",
 svgcase("empty-about", "@about='' is the base (svg)",
         '<desc about="" property="dc:title">T</desc>',
         [T(B, DC + "title", "T", True)])
+
+
+# ---------------------------------------------------------------------------
+# Batch 17: initial-context differences — undeclared well-known
+# prefixes in 1.1, per-host term vocabularies
+# ---------------------------------------------------------------------------
+OG = "http://ogp.me/ns#"
+for host, ver in COMBOS_11:
+    markup = (f'<html{" xmlns=" + chr(34) + "http://www.w3.org/1999/xhtml" + chr(34) if host in ("xhtml", "xhtml5") else ""}>'
+              f'<head><title>t</title></head><body>'
+              f'<p about="#s" property="og:title" content="T">x</p>'
+              f'<span about="#s" property="foaf:name">N</span>'
+              f'</body></html>')
+    CASES.append(Case(
+        f"initial-ctx-prefixes/{host}+{ver}",
+        "rdfa-1.1 initial context supplies og:/foaf: prefixes "
+        "WITHOUT any declaration",
+        host, ver, markup,
+        [T(B + "#s", OG + "title", "T", True),
+         T(B + "#s", FOAF + "name", "N", True)]))
+
+CASES.append(Case(
+    "initial-ctx-prefixes-not-10/html5+1.0",
+    "RDFa 1.0 has no initial-context prefixes: undeclared og:/foaf: "
+    "CURIEs emit nothing",
+    "html5", "1.0",
+    '<html><head><title>t</title></head><body>'
+    '<p about="#s" property="og:title" content="T">x</p>'
+    '</body></html>',
+    absent=[T(B + "#s", OG + "title", "T", True)]))
+
+CASES.append(Case(
+    "nofollow-html5/html5+1.1",
+    "HTML5 link-type 'nofollow' is a term in the html5 profile",
+    "html5", "1.1",
+    '<html><body><a about="#s" rel="nofollow" href="o">x</a>'
+    '</body></html>',
+    [T(B + "#s", XHV + "nofollow", "http://example.com/o")]))
+CASES.append(Case(
+    "nofollow-html4/html4+1.1",
+    "'nofollow' is NOT in the html4 profile: dropped as an "
+    "undefined term",
+    "html4", "1.1",
+    '<html><body><a about="#s" rel="nofollow" href="o">x</a>'
+    '</body></html>',
+    absent=[T(B + "#s", None, "http://example.com/o")]))
+CASES.append(Case(
+    "chapter-html4/html4+1.1",
+    "HTML4 link-type 'chapter' resolves in the html4 profile",
+    "html4", "1.1",
+    '<html><body><a about="#s" rel="chapter" href="o">x</a>'
+    '</body></html>',
+    [T(B + "#s", XHV + "chapter", "http://example.com/o")]))
