@@ -1955,3 +1955,18 @@ CASES.append(Case(
     '<html><body><a about="#s" rel="chapter" href="o">x</a>'
     '</body></html>',
     [T(B + "#s", XHV + "chapter", "http://example.com/o")]))
+
+
+# ---------------------------------------------------------------------------
+# Batch 18: RDFa 1.1 core-context TERMS reach every 1.1 host
+# ---------------------------------------------------------------------------
+xmlcase("core-terms", "rdfa-1.1 core terms (describedby, license) "
+        "resolve even in the generic xml host",
+        '<item about="#s" rel="describedby" resource="#o">x</item>'
+        '<item about="#s" rel="license" resource="#l">x</item>',
+        [T(B + "#s", POWDER + "describedby", B + "#o"),
+         T(B + "#s", XHV + "license", B + "#l")])
+w3c("core-term-describedby", "core-context 'describedby' term",
+    '<a about="#s" rel="describedby" href="o">x</a>',
+    [T(B + "#s", POWDER + "describedby", "http://example.com/o")],
+    combos=COMBOS_11)
