@@ -1970,3 +1970,16 @@ w3c("core-term-describedby", "core-context 'describedby' term",
     '<a about="#s" rel="describedby" href="o">x</a>',
     [T(B + "#s", POWDER + "describedby", "http://example.com/o")],
     combos=COMBOS_11)
+
+
+# aria-role profile terms (xhtml-role + aria-role contexts feed the
+# @role attribute's term set)
+for host, ver in ROLE_COMBOS:
+    CASES.append(Case(
+        f"role-aria-term/{host}+{ver}",
+        "ARIA role terms (checkbox) resolve via the aria-role "
+        "profile",
+        host, ver,
+        doc('<div id="c" role="checkbox">x</div>', host, ver),
+        [T(B + "#c", XHV + "role", XHV + "checkbox")],
+        opts={"role_attr": True}))
