@@ -1983,3 +1983,38 @@ for host, ver in ROLE_COMBOS:
         doc('<div id="c" role="checkbox">x</div>', host, ver),
         [T(B + "#c", XHV + "role", XHV + "checkbox")],
         opts={"role_attr": True}))
+
+
+# ---------------------------------------------------------------------------
+# Batch 19: xml-host role variants; reference bug-compatibility
+# ---------------------------------------------------------------------------
+CASES.append(Case(
+    "role-multi-xml/xml+1.1", "multiple @role tokens in xml host",
+    "xml", "1.1",
+    '<root><data id="a" role="banner navigation"/></root>',
+    [T(B + "#a", XHV + "role", XHV + "banner"),
+     T(B + "#a", XHV + "role", XHV + "navigation")],
+    opts={"role_attr": True}))
+CASES.append(Case(
+    "role-curie-xml/xml+1.1", "CURIE @role in xml host",
+    "xml", "1.1",
+    f'<root xmlns:ex="{EX}"><data id="b" role="ex:w"/></root>',
+    [T(B + "#b", XHV + "role", EX + "w")],
+    opts={"role_attr": True}))
+
+# Reference bug-compatibility: Config.pm:51 misspells
+# 'intial_context' for the html32 host, so the html32 term profile
+# (copyright, glossary, ...) never loads in the reference either —
+# HTML-3.2 link types resolve through the shared rdfa-1.1 context
+# only.  We reproduce that faithfully (no initial_context override
+# for html32 in core/config.py): 'copyright' stays an undefined
+# term, while core-context terms like 'license' still work.
+CASES.append(Case(
+    "html32-profile-typo/html32+1.1",
+    "reference Config.pm:51 typo: html32 term profile not loaded "
+    "(bug-compatible)",
+    "html32", "1.1",
+    '<html><body><a about="#s" rel="copyright" href="c">x</a>'
+    '<a about="#s" rel="license" href="l">y</a></body></html>',
+    [T(B + "#s", XHV + "license", "http://example.com/l")],
+    absent=[T(B + "#s", XHV + "copyright", None)]))
