@@ -166,3 +166,34 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
            .filter(F.col("hamming") <= max_hamming))
     out.dropped_blocks = dropped
     return out
+
+
+def filter_corpus(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  min_score_pm: int = 500,
+                  languages: tuple[str, ...] | None = None,
+                  dedup: bool = True) -> DataFrame:
+    """Composed training-corpus filter: quality gate -> language
+    allowlist -> exact dedup, as one DataFrame pipeline.
+
+    The three stages compose into a single plan: the quality columns
+    are pure projections (whole-stage codegen), the language filter
+    runs the Arrow lang-ID kernel only on quality survivors (filter
+    pushdown ahead of the expensive stage), and exact dedup is the
+    one shuffle, keyed on the md5 fingerprint of the survivors only.
+    Returns the surviving rows of ``df`` with the quality and
+    ``lang_pred`` columns attached.
+    """
+    from ..functions.text import (language_id_kernel,
+                                  with_quality_score)
+
+    scored = with_quality_score(df, text_col)
+    kept = scored.filter(F.col("q_score_pm") >= min_score_pm)
+    if languages is not None:
+        langs = language_id_kernel(kept.select(id_col, text_col),
+                                   id_col, text_col)
+        kept = (kept.join(langs, id_col)
+                .filter(F.col("lang_pred").isin(*languages)))
+    if dedup:
+        kept = dedup_exact(kept, id_col, text_col)
+    return kept

@@ -293,3 +293,25 @@ def test_embedding_near_dup_cap_reports_dropped(spark):
     assert out.count() == 0                       # cluster bucket dropped
     d = out.dropped_buckets.collect()
     assert len(d) == 2 and all(r.n_members == 30 for r in d)
+
+
+def test_filter_corpus_composition(spark):
+    """Quality gate -> language allowlist -> exact dedup composed as
+    one pipeline; survivors keep their metadata columns."""
+    from rdfa_spark.pipeline.dedup import filter_corpus
+    good = ("the people who came from the city said that they would "
+            "have more time for all of these things tomorrow morning")
+    rows = [
+        (1, good),
+        (2, good),                                # exact dup of 1
+        (3, "die leute aus der stadt sagten dass sie morgen mehr "
+            "zeit für alle diese dinge haben würden"),   # German
+        (4, "!!! ??? ### 123"),                   # low quality
+        (5, good + " and the answer was there for them to see"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = filter_corpus(df, languages=("en",), min_score_pm=500)
+    got = sorted(r.doc_id for r in out.collect())
+    assert got == [1, 5]          # dup 2 dropped, de 3 dropped, junk 4 dropped
+    cols = set(out.columns)
+    assert {"q_score_pm", "lang_pred"} <= cols
