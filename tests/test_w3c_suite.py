@@ -2018,3 +2018,17 @@ CASES.append(Case(
     '<a about="#s" rel="license" href="l">y</a></body></html>',
     [T(B + "#s", XHV + "license", "http://example.com/l")],
     absent=[T(B + "#s", XHV + "copyright", None)]))
+
+
+# 1.0 reserved words are @rel/@rev-only; 1.1 context terms apply to
+# any TERMorCURIEorAbsIRI attribute including @property
+w3c("term-in-property-10", "RDFa 1.0: reserved words do NOT work "
+    "in @property",
+    '<p about="#s" property="next">T</p>',
+    absent=[T(B + "#s", XHV + "next", "T", True)],
+    combos=[("xhtml", "1.0")])
+w3c("term-in-property-11", "RDFa 1.1: context terms work in "
+    "@property too",
+    '<p about="#s" property="next">T</p>',
+    [T(B + "#s", XHV + "next", "T", True)],
+    combos=[("xhtml", "1.1")])
