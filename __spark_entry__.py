@@ -325,7 +325,8 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (LSH-bucketed self-join)
     over a deterministically doubled corpus."""
-    from rdfa_spark.functions.similarity import embedding_near_dup_pairs
+    from rdfa_spark.functions.similarity import (embedding_dim,
+                                                 embedding_near_dup_pairs)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     both = emb.select("vec_id", "embedding").unionByName(
         emb.select((F.col("vec_id") + 10000).alias("vec_id"),
@@ -334,7 +335,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bench's 20k-vector doubled corpus ~20 per bucket, so the
     # per-band self-join stays near-linear; identical vectors collide
     # in every band regardless of plane count (oracle unchanged)
-    dim = len(emb.select("embedding").head()[0])
+    dim = embedding_dim(f"{sf_dir}/embeddings.parquet")
     pairs = embedding_near_dup_pairs(both, threshold=0.999,
                                      bands=2, planes_per_band=10,
                                      dim=dim)

@@ -293,11 +293,40 @@ def _executor_sim(exec_cores: int, replicate: int) -> dict:
     }
 
 
+def _wait_for_clean_window(exec_cores: int) -> dict:
+    """Clean-window guard: a record measured while the host is being
+    stolen from (noisy neighbours) is not a measurement of the
+    pipeline.  Probe the box's concurrency ceiling with the no-Spark
+    control loop; if it is below SPARK_GRAFT_MIN_CEILING (default
+    0.9), sleep and re-probe instead of recording — r3's committed
+    snapshot was taken in a 0.7-ceiling window and graded `weak` for
+    exactly this reason.  Bounded by SPARK_GRAFT_CEILING_RETRIES so a
+    permanently-throttled host still emits (with the probe attached,
+    so the reader can see the window quality)."""
+    min_ceiling = float(os.environ.get("SPARK_GRAFT_MIN_CEILING",
+                                       "0.9"))
+    retries = int(os.environ.get("SPARK_GRAFT_CEILING_RETRIES", "4"))
+    probe = _hw_control(exec_cores)
+    attempts = 1
+    while probe["hw_ceiling"] < min_ceiling and attempts <= retries:
+        print(f"# noisy window: hw_ceiling {probe['hw_ceiling']} < "
+              f"{min_ceiling}; sleeping 90s "
+              f"(retry {attempts}/{retries})", file=sys.stderr)
+        time.sleep(90)
+        probe = _hw_control(exec_cores)
+        attempts += 1
+    probe["min_ceiling"] = min_ceiling
+    probe["probe_attempts"] = attempts
+    probe["clean"] = probe["hw_ceiling"] >= min_ceiling
+    return probe
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
     from rdfa_spark.session import get_spark
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    preflight = _wait_for_clean_window(max(CPUS // 8, 1))
     timings: dict[str, float] = {}
 
     # ---- headline extraction throughput at full cores --------------
@@ -356,6 +385,7 @@ def main() -> None:
             "n_triples": full["n_triples"],
         },
         "scaling": scaling,
+        "hw_preflight": preflight,
     }))
 
 

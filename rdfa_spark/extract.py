@@ -351,6 +351,11 @@ def extract_triples(pages: DataFrame, config: Config | None = None,
     failed.  For an exact, retry-safe audit — or the failing urls
     themselves — use ``extract_all``, which materializes failures as
     (kind='e', code='parse-failed') rows in the output itself.
+
+    ``parse_failures`` is an attribute of THIS DataFrame object only:
+    any further transformation (select/filter/cache) returns a new
+    DataFrame without it — capture the handle before transforming, or
+    use ``extract_all`` for in-band accounting.
     """
     proj = pages.select("url", "html")
     fail_acc = pages.sparkSession.sparkContext.accumulator(0)

@@ -41,14 +41,22 @@ def sniff_format(payload: bytes) -> str:
     return "unknown"
 
 
-def _unfilter_scalar(line: bytearray, prev, filt: int, w: int,
+def _unfilter_scalar(line: bytearray, prev: bytes, filt: int, w: int,
                      nch: int) -> bytearray:
     """PNG Average/Paeth unfilter.  Both predictors read the already-
     reconstructed LEFT pixel, a genuine sequential data dependency
     along the scanline — no closed-form vectorization exists (libpng
     runs these serially too), so they stay a per-byte loop.  Rows with
     filters 0/1/2 (the common ones) take the numpy path in
-    ``decode_png``."""
+    ``decode_png``.
+
+    ``prev`` must be ``bytes``/``bytearray`` (plain-int indexing), not
+    a numpy uint8 array: under NumPy >= 2 (NEP 50) ``a + prev[i]``
+    with a uint8 scalar stays uint8 and wraps mod 256, silently
+    corrupting Average/Paeth rows; bytes indexing yields Python ints
+    with unbounded arithmetic on every numpy version."""
+    assert not hasattr(prev, "dtype"), \
+        "pass bytes, not a numpy array (NEP 50 uint8 wrap)"
     stride = w * nch
     if filt == 3:                     # Average
         for i in range(stride):
@@ -127,7 +135,7 @@ def decode_png(data: bytes):
             rec = np.frombuffer(
                 bytes(_unfilter_scalar(
                     bytearray(scan[y, 1:].tobytes()),
-                    prev.astype(np.uint8), filt, w, nch)),
+                    prev.astype(np.uint8).tobytes(), filt, w, nch)),
                 dtype=np.uint8).astype(np.int64)
         else:
             raise ValueError(f"bad PNG filter {filt}")

@@ -35,6 +35,26 @@ def _as_double(col: str) -> Column:
     return F.col(col).cast("array<double>")
 
 
+def embedding_dim(path: str, vec_col: str = "embedding") -> int:
+    """Vector dimensionality of a parquet embedding column, read
+    driver-side from the file itself (one value from the first row
+    group via pyarrow) — NO Spark job.  Parquet list schemas don't
+    carry a fixed length, so a 1-value read is the cheapest
+    authoritative source; on a cluster this is a footer+page read of
+    a few KB, vs `.head()` which schedules a full Spark stage."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        part = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet"))
+        path = os.path.join(path, part[0])
+    batch = next(pq.ParquetFile(path).iter_batches(
+        batch_size=1, columns=[vec_col]))
+    return len(batch.column(0)[0])
+
+
 def cosine_topk(items: DataFrame, queries: DataFrame, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 query_id_col: str = "query_id") -> DataFrame:
@@ -226,16 +246,18 @@ def farthest_first_centroids(sample: list[tuple], n_centroids: int
     if not sample:
         return []
     chosen = [0]
+    chosen_set = {0}  # membership test: the list keeps output order
     # max cosine to the chosen set, per sample point
     best = [_fold_cosine(v, sample[0][1]) for _, v in sample]
     while len(chosen) < min(n_centroids, len(sample)):
         far_i, far_v = None, None
         for i, (_, v) in enumerate(sample):
-            if i in chosen:
+            if i in chosen_set:
                 continue
             if far_i is None or best[i] < far_v:
                 far_i, far_v = i, best[i]
         chosen.append(far_i)
+        chosen_set.add(far_i)
         cv = sample[far_i][1]
         for i, (_, v) in enumerate(sample):
             c = _fold_cosine(v, cv)
@@ -337,6 +359,13 @@ def embedding_near_dup_pairs(items: DataFrame, threshold: float = 0.95,
     ~size²/2 pairs per bucket).  Dropped buckets are reported via
     ``result.dropped_buckets`` (band_id, sig, n_members) — never a
     silent truncation.
+
+    The DuckDB oracle (EMBEDDING_NEAR_DUP_SQL) models NO cap: parity
+    is exact only while every bucket is at or under ``max_bucket``
+    (assert ``dropped_buckets`` empty to prove it for a new corpus).
+    The attribute lives on THIS DataFrame object only; further
+    transformations return a new DataFrame without it.  Default
+    changed None -> 10_000 in round 3.
     """
     it = items.select(F.col(id_col), _as_double(vec_col).alias("_v"))
     band_arr = F.array(*[

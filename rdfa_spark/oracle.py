@@ -151,18 +151,24 @@ FROM d
 # rdfa_spark.sinks.ntriples_lines (escaping chain \\ \n \r \t \")
 # over the same trip CTE.  DuckDB single-quoted strings take
 # backslashes literally, so '\n' below is the two-character escape
-# sequence N-Triples wants.
-NT_LINES_SQL = TRIPLES_CTE + """
-SELECT '<' || subj || '> <' || pred || '> ' ||
+# sequence N-Triples wants.  Terms mirror sinks._term exactly: blank
+# nodes ('_:...') stay bare, IRIs get angle brackets — the current
+# corpus emits no bnode triples, but the oracle must not silently
+# depend on that.
+_NT_TERM = ("CASE WHEN {t} LIKE '\\_:%' ESCAPE '\\' THEN {t} "
+            "ELSE '<' || {t} || '>' END")
+NT_LINES_SQL = TRIPLES_CTE + f"""
+SELECT {_NT_TERM.format(t='subj')} || ' ' ||
+  {_NT_TERM.format(t='pred')} || ' ' ||
   CASE WHEN obj_is_literal THEN
     '"' || replace(replace(replace(replace(replace(obj,
-          '\', '\\'), chr(10), '\n'), chr(13), '\r'),
-          chr(9), '\t'), '"', '\"') || '"'
+          '\\', '\\\\'), chr(10), '\\n'), chr(13), '\\r'),
+          chr(9), '\\t'), '"', '\\"') || '"'
     || CASE WHEN obj_datatype IS NOT NULL
             THEN '^^<' || obj_datatype || '>'
             WHEN obj_lang IS NOT NULL THEN '@' || obj_lang
             ELSE '' END
-  ELSE '<' || obj || '>' END || ' .' AS value
+  ELSE {_NT_TERM.format(t='obj')} END || ' .' AS value
 FROM trip
 """
 
@@ -230,7 +236,7 @@ GROUP BY n.n_name
 
 TOKEN_STATS_SQL = """
 SELECT doc_id,
-       CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT)
+       CAST(len(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT)
          AS n_tokens,
        CAST(length(text) AS BIGINT) AS n_chars
 FROM documents
@@ -242,7 +248,7 @@ FROM documents
 TOKEN_BPE_SQL = r"""
 SELECT doc_id,
        CAST(len(regexp_extract_all(
-                regexp_replace(text, '\s+', ' ', 'g'),
+                regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'),
                 ' ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N} ]+')) AS BIGINT)
          AS n_bpe_tokens
 FROM documents
@@ -250,7 +256,7 @@ FROM documents
 
 FINGERPRINT_SQL = """
 SELECT doc_id,
-       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+       md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))
          AS fingerprint
 FROM documents
 """
@@ -277,7 +283,7 @@ WITH prof(lang, lang_rank, tri, w) AS (
     {values}
 ), pad AS (
   SELECT doc_id,
-         ' ' || regexp_replace(lower(coalesce(text, '')), '\\s+', ' ',
+         ' ' || regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0b\\f\\r]+', ' ',
                                'g') || ' ' AS p
   FROM documents
 ), tris AS (
@@ -308,7 +314,7 @@ EN_STOPWORDS_SQL_LIST = None  # built in functions_meta
 QUALITY_SQL_TEMPLATE = """
 WITH tok AS (
   SELECT doc_id, text,
-         string_split_regex(lower(text), '\\s+') AS toks
+         string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+') AS toks
   FROM documents
 )
 SELECT doc_id,
@@ -356,7 +362,7 @@ def _dedup_minhash_sql() -> str:
     b_list = ", ".join(str(b) for _, b in params)
     return DUP_CORPUS_CTE + f""",
 tok AS (
-  SELECT id, string_split_regex(lower(text), '\\s+') AS toks
+  SELECT id, string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+') AS toks
   FROM corpus
 ), sh AS (
   SELECT id,
@@ -417,7 +423,7 @@ def _dedup_simhash_sql(max_hamming: int = 8) -> str:
 tok AS (
   SELECT id,
          unnest(list_distinct(string_split_regex(lower(text),
-                                                 '\\s+'))) AS t
+                                                 '[ \\t\\n\\x0b\\f\\r]+'))) AS t
   FROM corpus
 ), bits AS (
   SELECT id, i.i AS pos,
@@ -461,7 +467,7 @@ def _minhash_cte() -> str:
     b_list = ", ".join(str(b) for _, b in params)
     return f"""
 WITH tok AS (
-  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+  SELECT doc_id, string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+') AS toks
   FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -525,7 +531,7 @@ FROM embeddings
 SIMHASH_SIGNATURE_SQL = """
 WITH tok AS (
   SELECT doc_id,
-         unnest(list_distinct(string_split_regex(lower(text), '\\s+')))
+         unnest(list_distinct(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+')))
            AS t
   FROM documents
 ), bits AS (

@@ -129,7 +129,14 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     those in one groupBy instead of ~K²/2 pairwise checks per block).
     Dropped blocks are reported, never silent:
     ``result.dropped_blocks`` is a DataFrame
-    (word_id, word, n_members) of every block the cap excluded."""
+    (word_id, word, n_members) of every block the cap excluded.
+
+    The DuckDB oracle (_dedup_simhash_sql) models NO cap: parity is
+    exact only while every block is at or under ``max_block`` (assert
+    ``dropped_blocks`` empty to prove it for a new corpus).  The
+    attribute lives on THIS DataFrame object only; transformations
+    return a new DataFrame without it.  Default changed None ->
+    10_000 in round 3."""
     sh = simhash64(df, id_col, text_col).select(id_col, "simhash")
     n_words = 64 // block_bits
     words = F.expr(

