@@ -158,10 +158,240 @@ def language_id_kernel(df: DataFrame, id_col: str = "doc_id",
     Whitespace collapse uses the ASCII class [ \\t\\n\\x0b\\f\\r]
     — exactly Java regex / RE2 ``\\s`` — so the three engines
     (kernel, Spark SQL, DuckDB) normalize identically."""
-    import re as _re
-
     import pandas as _pd
     from pyspark.sql.types import StringType, StructField, StructType
+
+    out_schema = StructType([
+        StructField(id_col, df.schema[id_col].dataType, True),
+        StructField(out, StringType(), True),
+    ])
+
+    def batches(it):
+        for pdf in it:
+            yield _pd.DataFrame({
+                id_col: pdf[id_col].values,
+                out: _langid_numpy(list(pdf[text_col].values)),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(batches,
+                                                   out_schema)
+
+
+_LANGID_TABLES = None
+_LANGID_ASCII_TABLE = None
+_WS_RE = None
+_ASCII_NORM = None
+
+import re as _re_mod
+
+_MULTISPACE_RE = _re_mod.compile(rb"  +")
+
+
+def _ws_re():
+    global _WS_RE
+    if _WS_RE is None:
+        _WS_RE = _re_mod.compile(r"[ \t\n\x0b\f\r]+")
+    return _WS_RE
+
+
+def _ascii_norm_table() -> bytes:
+    """256-byte translate table: A-Z -> a-z, each ws-class byte
+    (\\t \\n \\x0b \\f \\r) -> space, everything else identity."""
+    global _ASCII_NORM
+    if _ASCII_NORM is None:
+        tbl = bytearray(range(256))
+        for ch in range(ord("A"), ord("Z") + 1):
+            tbl[ch] = ch + 32
+        for ch in b"\t\n\x0b\f\r":
+            tbl[ch] = 0x20
+        _ASCII_NORM = bytes(tbl)
+    return _ASCII_NORM
+
+
+def _langid_tables():
+    """(sorted int64 trigram keys, aligned weight matrix) for the
+    numpy kernel, built once per process.  A trigram packs into one
+    int64 as three 21-bit code points (Unicode tops out at 0x10FFFF
+    < 2^21) — injective, so key equality == trigram equality."""
+    global _LANGID_TABLES
+    if _LANGID_TABLES is not None:
+        return _LANGID_TABLES
+    import numpy as np
+
+    profs = trigram_profiles()
+    langs = TRIGRAM_LANGS
+    combined: dict[str, list[int]] = {}
+    for li, lang in enumerate(langs):
+        for tri, w in profs[lang].items():
+            combined.setdefault(tri, [0] * len(langs))[li] = w
+
+    def pack(tri: str) -> int:
+        a, b, c = (ord(ch) for ch in tri)
+        return a | (b << 21) | (c << 42)
+
+    items = sorted((pack(t), ws) for t, ws in combined.items())
+    keys = np.array([k for k, _ in items], dtype=np.int64)
+    # int32 is exact here: weights <= PROFILE_SIZE and per-doc sums
+    # are bounded by n_windows * PROFILE_SIZE, far below 2^31
+    weights = np.array([ws for _, ws in items], dtype=np.int32)
+    # CSR view of the (mostly single-language) weight rows: scoring
+    # expands each matched window to its ~1.3 nonzero (lang, w)
+    # entries instead of touching all 10 columns
+    nnz = (weights != 0).sum(axis=1).astype(np.int64)
+    row_ptr = np.zeros(len(weights) + 1, dtype=np.int64)
+    np.cumsum(nnz, out=row_ptr[1:])
+    lang_idx = np.nonzero(weights)[1].astype(np.int64)  # row-major
+    w_val = weights[weights != 0].astype(np.float64)
+    _LANGID_TABLES = (keys, weights, nnz, row_ptr, lang_idx, w_val)
+    return _LANGID_TABLES
+
+
+def _langid_ascii_table():
+    """(charmap, table) for all-ASCII trigram windows, built once per
+    process.  ``charmap`` (128 x uint8) maps an ASCII byte to a 6-bit
+    alphabet code (63 = not in any profile trigram); ``table``
+    (2^18 x int32, 1 MB — L2-resident, unlike a naive 2^21 x int32
+    direct map that thrashes cache at 8 MB) maps the packed 18-bit
+    window key to a profile row, -1 = no trigram.  Any window with an
+    unmapped char packs a 63 and lands on -1 by construction."""
+    global _LANGID_ASCII_TABLE
+    if _LANGID_ASCII_TABLE is not None:
+        return _LANGID_ASCII_TABLE
+    import numpy as np
+
+    keys = _langid_tables()[0]
+    tris = []
+    for k in keys.tolist():
+        c0, c1, c2 = k & 0x1FFFFF, (k >> 21) & 0x1FFFFF, k >> 42
+        tris.append((c0, c1, c2))
+    ascii_chars = sorted({c for t in tris for c in t
+                          if all(ch < 128 for ch in t)})
+    assert len(ascii_chars) <= 63, "alphabet exceeds 6-bit codes"
+    charmap = np.full(128, 63, dtype=np.uint8)
+    for i, ch in enumerate(ascii_chars):
+        charmap[ch] = i
+    table = np.full(1 << 18, -1, dtype=np.int32)
+    for row, (c0, c1, c2) in enumerate(tris):
+        if c0 < 128 and c1 < 128 and c2 < 128:
+            key = (int(charmap[c0]) | (int(charmap[c1]) << 6)
+                   | (int(charmap[c2]) << 12))
+            table[key] = row
+    _LANGID_ASCII_TABLE = (charmap, table)
+    return _LANGID_ASCII_TABLE
+
+
+def _trigram_rows(codes, keys, is_ascii: bool):
+    """(window positions, profile row indices) of every trigram
+    window in ``codes`` that matches a profile trigram.  ASCII
+    buffers (uint8 codes) take the dense-table gather; anything else
+    takes the packed-int64 binary search.  vpos sorted ascending."""
+    import numpy as np
+
+    if is_ascii:
+        charmap, table = _langid_ascii_table()
+        m = charmap[codes]
+        k = m[2:].astype(np.int32)
+        np.left_shift(k, 6, out=k)
+        k |= m[1:-1]
+        np.left_shift(k, 6, out=k)
+        k |= m[:-2]
+        rows = table[k]
+        vpos = np.nonzero(rows >= 0)[0]
+        return vpos, rows[vpos]
+    a, b, c = codes[:-2], codes[1:-1], codes[2:]
+    packed = np.left_shift(c, 42)
+    packed |= np.left_shift(b, 21)
+    packed |= a
+    idx = np.searchsorted(keys, packed)
+    np.minimum(idx, len(keys) - 1, out=idx)
+    vpos = np.nonzero(keys[idx] == packed)[0]
+    return vpos, idx[vpos]
+
+
+def _langid_numpy(texts: list) -> list[str]:
+    """Vectorized language-ID over a batch of documents: one numpy
+    pass instead of a per-char Python loop, bit-identical to
+    ``_langid_scalar`` (integer arithmetic throughout).
+
+    Batch layout: docs joined as NUL <doc> NUL SOH NUL <doc> NUL —
+    lowercase and whitespace-collapse run ONCE over the joined buffer
+    (neither touches NUL/SOH, and the ws class excludes them, so runs
+    never cross a boundary; final-sigma context at boundaries matches
+    the per-doc path because NUL is uncased like end-of-string).  In
+    code space NUL becomes the pad space each doc needs, and SOH is
+    the gap: no profile trigram contains SOH, so straddling windows
+    score zero.  Texts that themselves contain NUL/SOH (never valid
+    web text) take the per-doc fallback for the whole batch."""
+    import numpy as np
+
+    keys, _, nnz, row_ptr, lang_idx, w_val = _langid_tables()
+    langs = TRIGRAM_LANGS
+    n = len(langs)
+    ndocs = len(texts)
+    if ndocs == 0:
+        return []
+    safe = [(t or "") for t in texts]
+    ws = _ws_re()
+    is_ascii = False
+    if any("\x00" in t or "\x01" in t for t in safe):
+        # correctness-only fallback (NUL/SOH never appear in real
+        # web text): per-doc normalization, generic int64 windows
+        padded = [" " + ws.sub(" ", t.lower()) + " " for t in safe]
+        big = "\x01".join(padded)
+        codes = np.frombuffer(big.encode("utf-32-le"),
+                              dtype="<u4").astype(np.int64)
+        lens = np.fromiter((len(p) for p in padded),
+                           dtype=np.int64, count=ndocs)
+        starts = np.zeros(ndocs, dtype=np.int64)
+        np.cumsum(lens[:-1] + 1, out=starts[1:])
+    else:
+        big = "\x00" + "\x00\x01\x00".join(safe) + "\x00"
+        is_ascii = big.isascii()               # O(1): CPython flag
+        if is_ascii:
+            # bytes path: one translate (A-Z -> a-z, every ws-class
+            # byte -> space) + one run-collapse sub — C speed, no
+            # per-doc Python and no 4-byte/char UTF-32 blowup
+            bb = big.encode("ascii").translate(_ascii_norm_table())
+            bb = _MULTISPACE_RE.sub(b" ", bb)
+            codes = np.frombuffer(bb, dtype=np.uint8).copy()
+        else:
+            big = ws.sub(" ", big.lower())
+            codes = np.frombuffer(big.encode("utf-32-le"),
+                                  dtype="<u4").astype(np.int64)
+        np.place(codes, codes == 0, 32)        # NUL -> pad space
+        starts = np.zeros(ndocs, dtype=np.int64)
+        starts[1:] = np.nonzero(codes == 1)[0] + 1
+    if len(codes) < 3:
+        return ["unknown"] * ndocs
+    vpos, vrow = _trigram_rows(codes, keys, is_ascii)
+    if len(vrow) == 0:
+        return ["unknown"] * ndocs
+    # Scoring: expand each matched window through the CSR weight rows
+    # (~1.3 nonzero languages per trigram) and accumulate with ONE
+    # flat bincount keyed doc*n + lang.  float64 weights are exact
+    # for these integer magnitudes (per-doc sums << 2^53), so the
+    # result is bit-identical to the scalar integer loop.
+    seg = np.searchsorted(starts, vpos, side="right") - 1
+    cnt = nnz[vrow]
+    total = int(cnt.sum())
+    csum = np.zeros(len(cnt), dtype=np.int64)
+    np.cumsum(cnt[:-1], out=csum[1:])
+    flat = np.repeat(row_ptr[vrow] - csum, cnt) + np.arange(total)
+    scores = np.bincount(
+        np.repeat(seg * n, cnt) + lang_idx[flat],
+        weights=w_val[flat], minlength=ndocs * n
+    ).reshape(ndocs, n).astype(np.int64)
+    best = scores.max(axis=1)
+    arg = scores.argmax(axis=1)   # first max == TRIGRAM_LANGS order
+    return [langs[a] if b > 0 else "unknown"
+            for a, b in zip(arg, best)]
+
+
+def _langid_scalar(texts: list) -> list[str]:
+    """The original per-char scalar loop, kept as the A/B oracle for
+    ``_langid_numpy`` (tests/test_functions.py pins bit-equality on
+    adversarial and fuzzed inputs)."""
+    import re as _re
 
     profs = trigram_profiles()
     langs = TRIGRAM_LANGS
@@ -171,32 +401,20 @@ def language_id_kernel(df: DataFrame, id_col: str = "doc_id",
         for tri, w in profs[lang].items():
             combined.setdefault(tri, [0] * n)[li] = w
     ws = _re.compile(r"[ \t\n\x0b\f\r]+")
-    out_schema = StructType([
-        StructField(id_col, df.schema[id_col].dataType, True),
-        StructField(out, StringType(), True),
-    ])
-
-    def batches(it):
-        get = combined.get
-        for pdf in it:
-            ids, preds = [], []
-            for rid, text in zip(pdf[id_col].values,
-                                 pdf[text_col].values):
-                p = " " + ws.sub(" ", (text or "").lower()) + " "
-                scores = [0] * n
-                for i in range(len(p) - 2):
-                    v = get(p[i:i + 3])
-                    if v is not None:
-                        for j in range(n):
-                            scores[j] += v[j]
-                best = max(scores)
-                preds.append(langs[scores.index(best)]
-                             if best > 0 else "unknown")
-                ids.append(rid)
-            yield _pd.DataFrame({id_col: ids, out: preds})
-
-    return df.select(id_col, text_col).mapInPandas(batches,
-                                                   out_schema)
+    get = combined.get
+    preds = []
+    for text in texts:
+        p = " " + ws.sub(" ", (text or "").lower()) + " "
+        scores = [0] * n
+        for i in range(len(p) - 2):
+            v = get(p[i:i + 3])
+            if v is not None:
+                for j in range(n):
+                    scores[j] += v[j]
+        best = max(scores)
+        preds.append(langs[scores.index(best)]
+                     if best > 0 else "unknown")
+    return preds
 
 
 def with_language_id(df: DataFrame, text_col: str = "text",

@@ -517,3 +517,39 @@ def test_round3_operator_plans(spark):
     # the only shuffle is the final per-query window rank, never a
     # repartition of the item table by join key
     assert "Exchange hashpartitioning(sig" not in plan2
+
+
+def test_langid_numpy_scalar_ab():
+    """The vectorized kernel must be bit-identical to the original
+    per-char scalar loop on adversarial + fuzzed inputs: empty docs
+    in every position (empty CSR runs), NUL/SOH in text (separator
+    fallback), Greek final sigma at doc boundaries (context-sensitive
+    lower), mixed scripts (non-ASCII int64 path), vertical tab
+    (whitespace-class edge)."""
+    import random
+
+    from rdfa_spark.functions.text import _langid_numpy, _langid_scalar
+
+    cases = [None, "", "abc", "", "the quick brown fox", "", None,
+             "\x00\x00", "has\x00nul", "has\x01soh",
+             "敏捷的棕色狐狸跳过了", "zz9 !!", "", "ΣΟΦΟΣ ΑΣ Σ",
+             "ΟΔΥΣΣΕΥΣ", "MIXED Case", "  lead", "trail  ",
+             "\t\n\x0b\f\r ws \x0b", "a" * 500]
+    random.seed(7)
+    alph = ("abcdefghij klmnopqrstuvwxyz ABCDEFG äöüß 敏捷狐 すばや "
+            "빠른 бΣΑ\x0b\t\n!9.")
+    for _ in range(400):
+        cases.append("".join(
+            random.choice(alph)
+            for _ in range(random.randrange(0, 150))))
+    for i in range(0, 400, 37):
+        cases[i] = ""
+    assert _langid_numpy(cases) == _langid_scalar(cases)
+    # pure-ASCII batch exercises the dense-table/bytes-translate path
+    ascii_only = [c for c in cases
+                  if c and c.isascii()
+                  and "\x00" not in c and "\x01" not in c] + ["", "hi"]
+    assert _langid_numpy(ascii_only) == _langid_scalar(ascii_only)
+    # NUL in one text flips the whole batch to the fallback path
+    nulbatch = ["plain", "x\x00y", "", "more text"]
+    assert _langid_numpy(nulbatch) == _langid_scalar(nulbatch)
