@@ -38,6 +38,8 @@ def sniff_format(payload: bytes) -> str:
         return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
     return "unknown"
 
 
@@ -241,6 +243,41 @@ def gif_dimensions(data: bytes) -> tuple[int, int]:
     return w, h
 
 
+def webp_dimensions(data: bytes) -> tuple[int, int]:
+    """(width, height) from the WebP header — all three container
+    variants, per the public WebP container/bitstream specs:
+
+    * VP8X (extended): 24-bit canvas width-1 / height-1;
+    * VP8L (lossless): 14-bit width-1 / height-1 packed after the
+      0x2F signature byte;
+    * 'VP8 ' (lossy): 14-bit dims after the 3-byte frame tag and the
+      9D 01 2A start code of the first keyframe.
+    """
+    chunk = data[12:16]
+    if chunk == b"VP8X":
+        if len(data) < 30:
+            raise ValueError("truncated VP8X header")
+        w = int.from_bytes(data[24:27], "little") + 1
+        h = int.from_bytes(data[27:30], "little") + 1
+        return w, h
+    if chunk == b"VP8L":
+        if len(data) < 25 or data[20] != 0x2F:
+            raise ValueError("bad VP8L signature")
+        bits = int.from_bytes(data[21:25], "little")
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        return w, h
+    if chunk == b"VP8 ":
+        if len(data) < 30:
+            raise ValueError("truncated VP8 header")
+        if data[23:26] != b"\x9d\x01\x2a":
+            raise ValueError("bad VP8 keyframe start code")
+        w = struct.unpack("<H", data[26:28])[0] & 0x3FFF
+        h = struct.unpack("<H", data[28:30])[0] & 0x3FFF
+        return w, h
+    raise ValueError(f"unknown WebP chunk {chunk!r}")
+
+
 def real_decode(payload: bytes, kind: str):
     """-> (width, height, n_frames, feature) using the stdlib codecs;
     raises NotImplementedError for formats without one (MP4, ...)."""
@@ -258,7 +295,9 @@ def real_decode(payload: bytes, kind: str):
     if fmt == "gif":
         w, h = gif_dimensions(payload)
         return w, h, 1, None
+    if fmt == "webp":
+        w, h = webp_dimensions(payload)
+        return w, h, 1, None          # dims only: no stdlib VP8 DCT
     raise NotImplementedError(
         f"no stdlib decoder for format={fmt!r} kind={kind!r} "
-        "(MP4/WEBP/... need ffmpeg/PIL — plug in here on a real "
-        "cluster)")
+        "(MP4 needs ffmpeg — plug in here on a real cluster)")

@@ -164,9 +164,21 @@ def resize_images(assets: DataFrame, out_w: int = 8, out_h: int = 8,
 def frame_sample(features: DataFrame, every_n: int = 8) -> DataFrame:
     """Frame-sampling plan for video assets: one row per sampled
     frame index (pure relational explode — the heavy decode happens
-    downstream per sampled frame only)."""
+    downstream per sampled frame only).
+
+    A video whose ``n_frames`` is NULL would be dropped silently by
+    ``explode`` (sequence(NULL) is NULL); instead those assets are
+    reported via ``result.skipped_assets`` — a DataFrame of
+    (asset_id) rows, same no-silent-drops discipline as
+    ``extract_features``/``resize_images`` (here a DataFrame rather
+    than an accumulator because the whole stage is relational — no
+    Python task code for an accumulator to live in)."""
+    vids = features.filter(F.col("kind") == "video")
     idx = F.sequence(F.lit(0),
                      F.greatest(F.col("n_frames") - 1, F.lit(0)),
                      F.lit(every_n))
-    return (features.filter(F.col("kind") == "video")
-            .select("asset_id", F.explode(idx).alias("frame_idx")))
+    out = (vids.filter(F.col("n_frames").isNotNull())
+           .select("asset_id", F.explode(idx).alias("frame_idx")))
+    out.skipped_assets = (vids.filter(F.col("n_frames").isNull())
+                          .select("asset_id"))
+    return out

@@ -553,3 +553,54 @@ def test_langid_numpy_scalar_ab():
     # NUL in one text flips the whole batch to the fallback path
     nulbatch = ["plain", "x\x00y", "", "more text"]
     assert _langid_numpy(nulbatch) == _langid_scalar(nulbatch)
+
+
+def test_webp_dimensions_all_variants():
+    """Header-only WebP dims for lossy (VP8), lossless (VP8L) and
+    extended (VP8X) containers, built per the public spec."""
+    import struct
+
+    from rdfa_spark.functions.codecs import (real_decode, sniff_format,
+                                             webp_dimensions)
+
+    def riff(chunk_tag, chunk_body):
+        body = chunk_tag + struct.pack("<I", len(chunk_body)) + chunk_body
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+    # VP8 lossy: 3-byte frame tag, start code, 14-bit dims
+    vp8 = riff(b"VP8 ", b"\x00\x00\x00" + b"\x9d\x01\x2a"
+               + struct.pack("<HH", 320, 240) + b"\x00" * 8)
+    # VP8L lossless: 0x2F sig then 14-bit w-1 / h-1 packed
+    bits = (320 - 1) | ((240 - 1) << 14)
+    vp8l = riff(b"VP8L", b"\x2f" + struct.pack("<I", bits) + b"\x00" * 8)
+    # VP8X extended: 4 flag bytes then 24-bit w-1 / h-1
+    vp8x = riff(b"VP8X", b"\x00\x00\x00\x00"
+                + (320 - 1).to_bytes(3, "little")
+                + (240 - 1).to_bytes(3, "little") + b"\x00" * 8)
+    for payload in (vp8, vp8l, vp8x):
+        assert sniff_format(payload) == "webp"
+        assert webp_dimensions(payload) == (320, 240)
+        w, h, nf, feat = real_decode(payload, "image")
+        assert (w, h, nf, feat) == (320, 240, 1, None)
+    # truncated / corrupt headers raise ValueError, not silence
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        webp_dimensions(riff(b"VP8 ", b"\x00\x00\x00bad"))
+    with _pytest.raises(ValueError):
+        webp_dimensions(riff(b"ANIM", b"\x00" * 10))
+
+
+def test_frame_sample_reports_null_n_frames(spark):
+    """A video with NULL n_frames must not vanish silently: it is
+    excluded from the frame plan and reported via skipped_assets."""
+    from rdfa_spark.functions.multimodal import frame_sample
+
+    df = spark.createDataFrame(
+        [("v1", "video", 17), ("v2", "video", None),
+         ("i1", "image", 1)],
+        "asset_id string, kind string, n_frames int")
+    out = frame_sample(df, every_n=8)
+    rows = {(r.asset_id, r.frame_idx) for r in out.collect()}
+    assert rows == {("v1", 0), ("v1", 8), ("v1", 16)}
+    skipped = [r.asset_id for r in out.skipped_assets.collect()]
+    assert skipped == ["v2"]
