@@ -341,16 +341,87 @@ def _attr_dict(attrs) -> dict:
     return out
 
 
+# HTML5 "formatting" category (WHATWG 13.2.4.3): end tags for these
+# run the adoption agency when mis-nested.
+_FORMATTING = frozenset("""a b big code em font i nobr s small strike
+strong tt u""".split())
+
+# HTML5 "special" category, abridged to the tags that occur as the
+# furthest block in real tag soup (block/structural elements; ordinary
+# elements like span are NOT special and take the plain-pop fallback).
+_SPECIAL = frozenset("""address applet area article aside base
+basefont blockquote body br button caption center col colgroup dd
+details dir div dl dt embed fieldset figcaption figure footer form
+frame frameset h1 h2 h3 h4 h5 h6 head header hgroup hr html iframe
+img input li link listing main marquee menu meta nav noembed noframes
+noscript object ol p param plaintext pre script section select source
+style summary table tbody td template textarea tfoot th thead title
+tr track ul wbr""".split())
+
+# Insertion contexts where raw text / arbitrary elements get
+# foster-parented before the table (WHATWG "in table" mode).  Cells
+# and captions host normal content and are NOT in this set.
+_TABLE_CTX = frozenset({"table", "tbody", "thead", "tfoot", "tr"})
+# Start tags legal inside the table context (everything else fosters).
+_TABLE_OK = frozenset("""caption col colgroup table tbody td template
+tfoot th thead tr script style form""".split())
+
+
 class _SoupBuilder(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
         self.root: Element | None = None
         self.stack: list[Element] = []
+        # formatting clones owed by the adoption agency, materialized
+        # lazily when content actually arrives (the spec's
+        # "reconstruct the active formatting elements": no content ->
+        # no clone, so <b><i>x</b></i> leaves no empty <i>)
+        self._pending_fmt: list[tuple[str, dict]] = []
 
     def _ensure_root(self):
         if self.root is None:
             self.root = Element("html", {})
             self.stack = [self.root]
+
+    def _flush_pending(self):
+        for tag, attrs in self._pending_fmt:
+            self._insert(tag, attrs)
+        self._pending_fmt = []
+
+    # -- foster parenting (WHATWG 13.2.6.1) -------------------------
+    def _foster_slot(self):
+        """(parent, index) immediately before the innermost open
+        table, or None when not in a fosterable table context."""
+        if self.stack[-1].tag not in _TABLE_CTX:
+            return None
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == "table":
+                par = self.stack[i - 1]
+                try:
+                    return par, par.children.index(self.stack[i])
+                except ValueError:      # detached (shouldn't happen)
+                    return par, len(par.children)
+        return None                     # tbody soup with no table
+
+    def _imply_table_sections(self, tag):
+        """<tr> directly in <table> gets an implied <tbody>; <td>/<th>
+        outside a row gets an implied <tr> (WHATWG "in table" /
+        "in table body" modes)."""
+        if tag == "tr" and self.stack[-1].tag == "table":
+            self._insert("tbody", {})
+        elif tag in ("td", "th"):
+            if self.stack[-1].tag == "table":
+                self._insert("tbody", {})
+            if self.stack[-1].tag in ("tbody", "thead", "tfoot"):
+                self._insert("tr", {})
+
+    def _insert(self, tag, attrs, push=True):
+        parent = self.stack[-1]
+        el = Element(tag, attrs, parent)
+        parent.children.append(el)
+        if push:
+            self.stack.append(el)
+        return el
 
     def handle_starttag(self, tag, attrs):
         if tag == "html":
@@ -362,6 +433,14 @@ class _SoupBuilder(HTMLParser):
                     self.root.attrs.setdefault(_k, _v)
             return
         self._ensure_root()
+        self._flush_pending()
+        # a <table> start while a table is open closes it first
+        # (WHATWG "in table": implied </table>)
+        if tag == "table" and self.stack[-1].tag in _TABLE_CTX:
+            for i in range(len(self.stack) - 1, 0, -1):
+                if self.stack[i].tag == "table":
+                    del self.stack[i:]
+                    break
         # implied end tags
         if tag in _CLOSE_P:
             for i in range(len(self.stack) - 1, 0, -1):
@@ -381,6 +460,19 @@ class _SoupBuilder(HTMLParser):
                 if t in closes:
                     del self.stack[i:]
                     break
+        self._imply_table_sections(tag)
+        # foster-parent a non-table element opened in table context
+        slot = None
+        if tag not in _TABLE_OK:
+            slot = self._foster_slot()
+        if slot is not None:
+            par, idx = slot
+            el = Element(tag, _attr_dict(attrs), par)
+            par.children.insert(idx, el)
+            if tag not in _VOID:
+                # fostered element still becomes the current node
+                self.stack.append(el)
+            return
         parent = self.stack[-1]
         el = Element(tag, _attr_dict(attrs), parent)
         parent.children.append(el)
@@ -392,12 +484,85 @@ class _SoupBuilder(HTMLParser):
             self.handle_starttag(tag, attrs)
             return
         self._ensure_root()
+        self._flush_pending()
+        slot = self._foster_slot() if tag not in _TABLE_OK else None
+        if slot is not None:
+            par, idx = slot
+            par.children.insert(idx, Element(tag, _attr_dict(attrs),
+                                             par))
+            return
         parent = self.stack[-1]
         el = Element(tag, _attr_dict(attrs), parent)
         parent.children.append(el)
 
+    # -- adoption agency (WHATWG 13.2.6.4.7, common cases) ----------
+    def _adoption(self, tag) -> bool:
+        """Mis-nested formatting end tag.  Two shapes are handled:
+
+        * only formatting elements above the match — pop through it,
+          then reopen clones of those formatting elements (the eager
+          equivalent of "reconstruct the active formatting elements";
+          an unused trailing clone stays empty, which is
+          triple-invisible);
+        * a special (block) element immediately above the match (the
+          ``<b><p>x</b>y`` shape) — the block moves out to become the
+          match's next sibling, a clone of the match wraps the
+          block's children, and the block stays open.
+
+        Returns False to fall back to the plain pop (ordinary
+        elements like span above the match, or deeper mixed shapes).
+        """
+        fi = None
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                fi = i
+                break
+        if fi is None or fi == len(self.stack) - 1:
+            return False                # absent or already current
+        above = self.stack[fi + 1:]
+        fmt_above = [e for e in above if e.tag in _FORMATTING]
+        if len(fmt_above) == len(above):
+            del self.stack[fi:]
+            self._pending_fmt = [(g.tag, dict(g.attrs))
+                                 for g in fmt_above]
+            return True
+        blk = above[0]
+        if blk.tag not in _SPECIAL:
+            return False
+        F = self.stack[fi]
+        rest_fmt = [e for e in above[1:] if e.tag in _FORMATTING]
+        if len(rest_fmt) != len(above) - 1:
+            return False                # two blocks deep: fall back
+        # move the block out: next sibling of the formatting element
+        if blk in F.children:
+            F.children.remove(blk)
+        par = F.parent if F.parent is not None else self.root
+        try:
+            at = par.children.index(F) + 1
+        except ValueError:
+            at = len(par.children)
+        par.children.insert(at, blk)
+        blk.parent = par
+        # clone of the formatting element adopts the block's children
+        clone = Element(F.tag, dict(F.attrs), blk)
+        clone.children = blk.children
+        for c in clone.children:
+            if isinstance(c, Element):
+                c.parent = clone
+        blk.children = [clone]
+        del self.stack[fi:]
+        self.stack.append(blk)          # the block stays open
+        self._pending_fmt = [(g.tag, dict(g.attrs))
+                             for g in rest_fmt]
+        return True
+
     def handle_endtag(self, tag):
         if tag in _VOID:
+            return
+        # an end tag consumes any owed clones: <b><i>x</b></i> must
+        # not materialize an empty <i> (and scope closure drops them)
+        self._pending_fmt = []
+        if tag in _FORMATTING and self._adoption(tag):
             return
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].tag == tag:
@@ -409,6 +574,17 @@ class _SoupBuilder(HTMLParser):
             if data.strip():
                 self._ensure_root()
             else:
+                return
+        self._flush_pending()
+        if data.strip():
+            slot = self._foster_slot()
+            if slot is not None:        # table text fosters
+                par, idx = slot
+                prev = par.children[idx - 1] if idx > 0 else None
+                if isinstance(prev, str):
+                    par.children[idx - 1] = prev + data
+                else:
+                    par.children.insert(idx, data)
                 return
         kids = self.stack[-1].children
         if kids and isinstance(kids[-1], str):

@@ -57,8 +57,13 @@ def doc(body: str, host: str, ver: str, extra: str = "") -> str:
 CASES: list[Case] = []
 
 
+# raw bodies by number, for host re-instantiation (generic-xml port)
+W3C_BODIES: dict[str, tuple] = {}
+
+
 def w3c(num: str, desc: str, body: str, expect=(), absent=(),
         combos=COMBOS_ALL, extra: str = "", opts=None):
+    W3C_BODIES.setdefault(num, (desc, body, extra, opts))
     for host, ver in combos:
         CASES.append(Case(f"w3c-{num}/{host}+{ver}", desc, host, ver,
                           doc(body, host, ver, extra), expect,
@@ -703,7 +708,7 @@ def test_w3c_case(c):
 
 def test_w3c_breadth():
     # grew through 15 batches in round 3; guard against regressions
-    assert len(CASES) >= 850, len(CASES)
+    assert len(CASES) >= 1015, len(CASES)
 
 
 # ---------------------------------------------------------------------------
@@ -2032,3 +2037,267 @@ w3c("term-in-property-11", "RDFa 1.1: context terms work in "
     '<p about="#s" property="next">T</p>',
     [T(B + "#s", XHV + "next", "T", True)],
     combos=[("xhtml", "1.1")])
+
+
+# ---------------------------------------------------------------------------
+# Batch 20 (round 4): HTML5 tree-construction — adoption agency +
+# foster parenting (WHATWG 13.2.6.4.7 / 13.2.6.1; VERDICT r3 #3).
+# The reference's HTML::HTML5::Parser implements both algorithms
+# (Parser.pm:103-107), so mis-nested formatting and table-stray
+# content shift subjects/literals on real crawl pages; these pin our
+# stdlib builder to the same TRIPLES.
+# ---------------------------------------------------------------------------
+
+soup("aaa-simple", "adoption agency: </b> closes across <i>, clone "
+     "continues the italics",
+     f'<html prefix="dc: {DC}"><body>'
+     f'<p about="#a" property="dc:title"><b>x<i>y</b>z</i></p>'
+     f'</body></html>',
+     [T(B + "#a", DC + "title", "xyz", True)])
+
+soup("aaa-clone-attrs", "adoption agency: the reopened clone keeps "
+     "the formatting element's RDFa attributes",
+     f'<html prefix="dc: {DC}"><body><div about="#a">'
+     f'<b><i property="dc:subject">x</b>y</i></div></body></html>',
+     # the clone <i property=dc:subject> wraps y -> second triple
+     [T(B + "#a", DC + "subject", "x", True),
+      T(B + "#a", DC + "subject", "y", True)])
+
+soup("aaa-no-empty-clone", "adoption agency: no content after "
+     "</b> means no clone (lazy reconstruction)",
+     f'<html prefix="dc: {DC}"><body><div about="#a">'
+     f'<b><i property="dc:subject">x</b></i></div>'
+     f'</body></html>',
+     [T(B + "#a", DC + "subject", "x", True)],
+     # an eager empty clone would emit an empty literal
+     absent=[T(B + "#a", DC + "subject", "", True)])
+
+soup("aaa-furthest-block", "adoption agency: block inside "
+     "formatting (<b><p>x</b>y) — block moves out and stays open",
+     f'<html prefix="dc: {DC}"><body>'
+     f'<b><p about="#a" property="dc:title">x</b>y</p>'
+     f'</body></html>',
+     # the block keeps collecting text after </b>
+     [T(B + "#a", DC + "title", "xy", True)])
+
+soup("aaa-chain", "adoption agency: <p>1<b>2<i>3</b>4</i>5 keeps "
+     "every run in the paragraph",
+     f'<html prefix="dc: {DC}"><body>'
+     f'<p about="#a" property="dc:title">1<b>2<i>3</b>4</i>5</p>'
+     f'</body></html>',
+     [T(B + "#a", DC + "title", "12345", True)])
+
+soup("aaa-clone-wraps-element", "adoption agency: a following "
+     "element lands inside the reopened clone",
+     f'<html prefix="dc: {DC}"><body><div about="#a">'
+     f'<b><i about="#b">x</b><span property="dc:title">y</span>'
+     f'</i></div></body></html>',
+     # clone of <i about="#b"> owns the span -> subject is #b
+     [T(B + "#b", DC + "title", "y", True)],
+     absent=[T(B + "#a", DC + "title", "y", True)])
+
+soup("foster-text", "loose table text foster-parents OUT of the "
+     "table's literal",
+     f'<html prefix="dc: {DC}"><body>'
+     f'<div about="#a" property="dc:description">before'
+     f'<table about="#t" property="dc:note">loose'
+     f'<tr><td>cell</td></tr></table>after</div></body></html>',
+     # fostered 'loose' leaves the table literal but stays in the
+     # enclosing div's text, in pre-table document order
+     [T(B + "#t", DC + "note", "cell", True),
+      T(B + "#a", DC + "description", "beforeloosecellafter", True)],
+     absent=[T(B + "#t", DC + "note", "loosecell", True)])
+
+soup("foster-element", "an RDFa-bearing element opened in table "
+     "context foster-parents OUT of the table's subject scope",
+     f'<html prefix="dc: {DC}"><body><div about="#a">'
+     f'<table about="#t"><tbody><span property="dc:title">T</span>'
+     f'<tr><td>c</td></tr></tbody></table></div></body></html>',
+     # fostered: subject is the div's #a, NOT the table's #t
+     [T(B + "#a", DC + "title", "T", True)],
+     absent=[T(B + "#t", DC + "title", "T", True)])
+
+soup("foster-subject-scope", "a fostered element escapes the "
+     "table's @about and its @prefix declarations",
+     f'<html prefix="dc: {DC}"><body><div about="#scope">'
+     f'<table about="#tbl" prefix="zz: http://zz.example/">'
+     f'<p property="dc:title">P</p>'
+     f'<tr><td>c</td></tr></table></div></body></html>',
+     [T(B + "#scope", DC + "title", "P", True)],
+     absent=[T(B + "#tbl", DC + "title", "P", True)])
+
+soup("foster-whitespace-stays", "whitespace-only table text is NOT "
+     "fostered (stays between rows, invisible to literals)",
+     f'<html prefix="dc: {DC}"><body>'
+     f'<div about="#a" property="dc:title">A<table> '
+     f'<tr> <td about="#b" property="dc:title">B</td> </tr> '
+     f'</table>C</div></body></html>',
+     [T(B + "#b", DC + "title", "B", True)])
+
+soup("implied-tbody-rdfa", "implied <tbody> keeps @about scoping "
+     "from <table> to the cells",
+     f'<html prefix="dc: {DC}"><body>'
+     f'<table about="#t"><tr><td property="dc:title">A</td></tr>'
+     f'</table></body></html>',
+     [T(B + "#t", DC + "title", "A", True)])
+
+soup("implied-tr", "a <td> with no <tr> gets implied tbody+tr",
+     f'<html prefix="dc: {DC}"><body><table about="#t">'
+     f'<td property="dc:title">A</td></table></body></html>',
+     [T(B + "#t", DC + "title", "A", True)])
+
+soup("table-in-table", "a <table> start inside a table closes the "
+     "outer table (implied </table>)",
+     f'<html prefix="dc: {DC}"><body><div about="#a">'
+     f'<table><tr><td property="dc:title">one</td>'
+     f'<table><tr><td property="dc:subject">two</td></tr></table>'
+     f'</div></body></html>',
+     [T(B + "#a", DC + "title", "one", True),
+      T(B + "#a", DC + "subject", "two", True)])
+
+soup("p-autoclose-inline", "<p> auto-close scans across inline "
+     "elements but not across blocks",
+     f'<html prefix="dc: {DC}"><body>'
+     f'<p about="#a" property="dc:title">one<b>two'
+     f'<p about="#b" property="dc:title">three</p></body></html>',
+     # second <p> closes the first even through the open <b>
+     [T(B + "#a", DC + "title", "onetwo", True),
+      T(B + "#b", DC + "title", "three", True)],
+     absent=[T(B + "#a", DC + "title", "onetwothree", True)])
+
+
+# ---------------------------------------------------------------------------
+# Batch 21 (round 4): generic-XML host instantiations.  The EARL
+# evidence includes xml-rdfa11-tests.ttl (109 passing assertions) —
+# the same numbered behaviors run against application/xml input,
+# where no xhtml host tweaks apply (no head/body/base special cases,
+# no @lang, no xhtml term context; Config.pm: HOST_XML has no
+# overrides).  Re-instantiate the already-pinned 1.1 bodies under a
+# bare <root> element; expectations are copied from the xhtml+1.1
+# instance of the same number (identical RDFa Core processing on the
+# shared XML DOM path).  Numbers whose bodies depend on xhtml-host
+# behavior (@lang, <base>, xhtml terms) are excluded.
+# ---------------------------------------------------------------------------
+
+# 0063 is deliberately NOT ported: it depends on the xhtml term
+# vocabulary (rel="next"), which the generic-xml initial context
+# does not include — zero triples is the correct xml-host outcome.
+_XML_PORT = """0001 0006 0007 0009 0010 0013 0014 0017 0018 0020 0021
+0023 0025 0026 0027 0029 0030 0033 0035 0037 0041 0048 0049 0050
+0056 0057 0059 0060 0064 0065 0067 0068 0071 0079 0080 0083
+0085 0099 0104 0106 0107 0108 0112 0115 0118 0121 0126 0147
+0206 0213 0216 0228 0246""".split()
+
+
+def _xml_doc(body: str, extra: str = "") -> str:
+    pfx = ('prefix="'
+           + " ".join(f"{p}: {u}" for p, u in PREFIXES.items())
+           + '"')
+    return f'<root {pfx} {extra}>{body}</root>'
+
+
+_BY_ID = {c.id: c for c in CASES}
+for _num in _XML_PORT:
+    _src = (_BY_ID.get(f"w3c-{_num}/xhtml+1.1")
+            or _BY_ID.get(f"w3c-{_num}/xhtml5+1.1")
+            or _BY_ID.get(f"w3c-{_num}/html5+1.1"))
+    if _src is None or _num not in W3C_BODIES:
+        continue
+    _desc, _body, _extra, _opts = W3C_BODIES[_num]
+    CASES.append(Case(f"w3c-{_num}/xml+1.1", _desc + " (generic xml)",
+                      "xml", "1.1", _xml_doc(_body, _extra),
+                      _src.expect, _src.absent, opts=_opts))
+
+# prefix-declaration behaviors, ported with their real bodies (their
+# registrations above use the combos=[] indirection)
+CASES.append(Case("w3c-0174/xml+1.1",
+                  "single-character prefix (generic xml)",
+                  "xml", "1.1",
+                  _xml_doc(f'<div prefix="q: {EX}">'
+                           f'<p about="#s" property="q:name">T</p>'
+                           f'</div>'),
+                  [T(B + "#s", EX + "name", "T", True)]))
+CASES.append(Case("w3c-0175/xml+1.1",
+                  "prefix mapping beats scheme reading (generic xml)",
+                  "xml", "1.1",
+                  _xml_doc(f'<div prefix="file: {EX}">'
+                           f'<p about="#s" property="file:name">T</p>'
+                           f'</div>'),
+                  [T(B + "#s", EX + "name", "T", True)]))
+CASES.append(Case("w3c-0176/xml+1.1",
+                  "several mappings in one @prefix (generic xml)",
+                  "xml", "1.1",
+                  _xml_doc(f'<div prefix="a: {EX} b: {SCH}">'
+                           f'<p about="#s" property="a:x b:y">T</p>'
+                           f'</div>'),
+                  [T(B + "#s", EX + "x", "T", True),
+                   T(B + "#s", SCH + "y", "T", True)]))
+# the xml host ignores xhtml terms: pin the 0063 non-behavior
+CASES.append(Case("w3c-0063-xmlhost/xml+1.1",
+                  "xhtml term rel=next does NOT resolve in generic "
+                  "xml (no xhtml initial context)",
+                  "xml", "1.1",
+                  _xml_doc('<link rel="next" href="page2"/>'),
+                  [],
+                  absent=[T(B, XHV + "next",
+                            "http://example.com/page2")]))
+
+# 0134 on the XML path: prefix_nocase_xmlns is a 1.1 default, not a
+# tag-soup artifact — uppercase XMLNS declarations resolve in the
+# xhtml hosts too (EARL asserts 0134 for xhtml1/xhtml5-rdfa11)
+for _host in ("xhtml", "xhtml5"):
+    CASES.append(Case(
+        f"w3c-0134/{_host}+1.1",
+        "case-insensitive xmlns prefix (XML-path hosts)",
+        _host, "1.1",
+        f'<html XMLNS:MY="{EX}" xmlns="http://www.w3.org/1999/xhtml">'
+        f'<head><title>t</title></head>'
+        f'<body><p about="#s" property="my:title">T</p></body></html>',
+        [T(B + "#s", EX + "title", "T", True)]))
+
+# language + head-defaults + processor-graph behaviors in generic xml
+CASES.append(Case(
+    "w3c-0012/xml+1.1",
+    "xml:lang inherited onto plain literal (generic xml)",
+    "xml", "1.1",
+    _xml_doc('<p xml:lang="en" about="photo1.jpg" '
+             'property="dc:title">Photo of the Eiffel Tower</p>'),
+    [T("http://example.com/photo1.jpg", DC + "title",
+       "Photo of the Eiffel Tower", True, None, "en")]))
+CASES.append(Case(
+    "w3c-0015/xml+1.1",
+    "meta/link default to the base subject (generic xml)",
+    "xml", "1.1",
+    _xml_doc('<meta property="dc:creator" content="Fabien Gandon"/>'
+             '<meta property="dc:title" '
+             'content="The trouble with Bob"/>'),
+    [T(B, DC + "creator", "Fabien Gandon", True),
+     T(B, DC + "title", "The trouble with Bob", True)]))
+CASES.append(Case(
+    "w3c-0246/xml+1.1",
+    "undefined CURIE prefix warns, no triple (generic xml)",
+    "xml", "1.1",
+    _xml_doc('<p about="#s" property="undefపx:title">T</p>'),
+    absent=[T(B + "#s", None, "T", True)]))
+
+# @inlist in the svg host (inlist_attr is a 1.1 default; EARL
+# svg-rdfa11 asserts 0218/0219)
+CASES.append(Case(
+    "w3c-0218/svg+1.1", "@inlist single literal list (svg)",
+    "svg", "1.1",
+    f'<svg xmlns="http://www.w3.org/2000/svg" xmlns:ex="{EX}">'
+    f'<desc about="#s" property="ex:tag" inlist="">a</desc></svg>',
+    [T(B + "#s", EX + "tag", "?l"),
+     T("?l", RDF + "first", "a", True),
+     T("?l", RDF + "rest", RDF + "nil")]))
+CASES.append(Case(
+    "w3c-0219/svg+1.1", "@inlist document order (svg)",
+    "svg", "1.1",
+    f'<svg xmlns="http://www.w3.org/2000/svg" xmlns:ex="{EX}">'
+    f'<g about="#s"><desc property="ex:tag" inlist="">a</desc>'
+    f'<desc property="ex:tag" inlist="">b</desc></g></svg>',
+    [T(B + "#s", EX + "tag", "?l1"),
+     T("?l1", RDF + "first", "a", True),
+     T("?l1", RDF + "rest", "?l2"),
+     T("?l2", RDF + "first", "b", True),
+     T("?l2", RDF + "rest", RDF + "nil")]))
