@@ -171,6 +171,20 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "q_mean_token_len_pm", "q_stopword_pm", "q_alpha_pm")
 
 
+def q_filter_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-corpus filter (quality gate -> language
+    allowlist -> exact dedup) as ONE fused plan — the pipeline a
+    100 TB pretraining run actually executes, end-to-end
+    DuckDB-mirrored (oracle.filter_corpus_sql)."""
+    from rdfa_spark.pipeline.dedup import filter_corpus
+    kept = filter_corpus(_documents(spark, sf_dir), "doc_id", "text",
+                         min_score_pm=500,
+                         languages=("en", "unknown"))
+    return kept.select("doc_id", "lang_pred",
+                       F.col("q_score_pm").cast("bigint")
+                        .alias("q_score_pm"))
+
+
 def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived dedup corpus: originals + exact/perturbed copies
     (mirrored in oracle.DUP_CORPUS_CTE)."""
@@ -448,6 +462,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "embedding_near_dup": q_embedding_near_dup,
         "simhash_signature": q_simhash_signature,
+        "filter_corpus": q_filter_corpus,
     }
 
 
@@ -482,4 +497,5 @@ def oracle_sql() -> dict[str, str]:
         "event_sessions": oracle.EVENT_SESSIONS_SQL,
         "revenue_by_nation": oracle.REVENUE_BY_NATION_SQL,
         "embedding_near_dup": oracle.EMBEDDING_NEAR_DUP_SQL,
+        "filter_corpus": oracle.filter_corpus_sql(),
     }

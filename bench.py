@@ -363,7 +363,8 @@ def main() -> None:
                      "cc_chain", "dedup_exact", "minhash_band_pairs",
                      "language_id", "quality_score", "ann_topk",
                      "event_sessions", "revenue_by_nation",
-                     "embedding_near_dup", "simhash_signature"]:
+                     "embedding_near_dup", "simhash_signature",
+                     "filter_corpus"]:
             t0 = time.time()
             queries[name](spark, SF_DIR).count()
             timings[name] = round(time.time() - t0, 3)

@@ -750,6 +750,54 @@ def langid_sql() -> str:
     return _langid_cases()
 
 
+def filter_corpus_sql(min_score_pm: int = 500,
+                      languages: tuple = ("en", "unknown")) -> str:
+    """End-to-end mirror of pipeline.dedup.filter_corpus: quality
+    gate -> language allowlist -> exact dedup (min doc_id per
+    md5(text) group).  Language-ID runs per-doc independently, so
+    computing it over all documents and joining the quality
+    survivors is equivalent to running it on survivors only (which
+    is what the Spark plan does for cost reasons)."""
+    from .functions.text import STOPWORDS
+    en_words = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    langs = ", ".join(f"'{x}'" for x in languages)
+    lang_cte = _langid_cases()
+    # reuse the langid statement's CTE chain; splice its final SELECT
+    # into a named CTE and continue the pipeline
+    head, final = lang_cte.rsplit("SELECT d.doc_id", 1)
+    return (head
+            + f""", lid AS (
+  SELECT d.doc_id{final}
+), tokq AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(text),
+                            '[ \\t\\n\\x0b\\f\\r]+') AS toks
+  FROM documents
+), q AS (
+  SELECT doc_id, text,
+    CAST(floor(len(list_filter(toks,
+                               t -> list_contains([{en_words}], t)))
+         * 1000.0 / greatest(len(toks), 1)) AS BIGINT)
+      + CAST(floor(length(regexp_replace(lower(text), '[^a-z]', '',
+                                         'g'))
+           * 1000.0 / greatest(length(text), 1)) AS BIGINT)
+      + least(CAST(len(toks) AS BIGINT), 100) * 10 AS q_score_pm
+  FROM tokq
+), kept AS (
+  SELECT q.doc_id, q.text, q.q_score_pm, lid.lang_pred
+  FROM q JOIN lid USING (doc_id)
+  WHERE q.q_score_pm >= {min_score_pm}
+    AND lid.lang_pred IN ({langs})
+), dedup AS (
+  SELECT doc_id, lang_pred, q_score_pm,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY doc_id) AS rn
+  FROM kept
+)
+SELECT doc_id, lang_pred, q_score_pm FROM dedup WHERE rn = 1
+""")
+
+
 def quality_sql() -> str:
     from .functions.text import STOPWORDS
     en_words = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
