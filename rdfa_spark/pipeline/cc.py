@@ -85,11 +85,54 @@ def _fingerprint(e: DataFrame) -> tuple[int, int]:
     return (row.n, row.h)
 
 
+def _local_finish(e: DataFrame) -> DataFrame:
+    """Finish a small (already size-checked) edge set driver-side:
+    union-find, component = min node id — identical output contract
+    to the distributed loop.  This is phase 2 of the standard
+    two-phase design (Kiveris et al. §6 run their final rounds on a
+    single machine once the contracted graph fits): distributed star
+    rounds shrink the graph toward one edge per (node, component);
+    long before that point the edge set is tiny relative to the
+    cluster, and each additional round costs a full scheduling +
+    checkpoint cycle to move ever less data.  The collect here is
+    bounded by ``local_finish_edges`` rows (two short strings each),
+    NOT by the input size."""
+    spark = e.sparkSession
+    rows = e.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:        # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = r.a, r.b
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for node in parent:
+        root = find(node)
+        m = comp_min.get(root)
+        if m is None or node < m:
+            comp_min[root] = node
+    out = [(node, comp_min[find(node)]) for node in parent]
+    return spark.createDataFrame(out, "node string, component string")
+
+
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst",
                          max_iter: int = 30,
                          reliable: bool = False,
-                         star_steps_per_round: int = 1) -> DataFrame:
+                         star_steps_per_round: int = 1,
+                         local_finish_edges: int = 100_000
+                         ) -> DataFrame:
     """-> (node, component) where component = min node id (string
     order) in the node's connected component.
 
@@ -108,9 +151,22 @@ def connected_components(edges: DataFrame, src: str = "src",
     can differ (2 halves the checkpoint I/O for ~the same wall).
     A converged edge set is a fixpoint of the alternation, so extra
     steps past convergence can never change the result.
+
+    ``local_finish_edges`` enables the two-phase design: whenever the
+    current (canonicalized, deduped) edge count is at or under the
+    threshold, the remaining contraction runs driver-side
+    (``_local_finish`` — bounded collect + union-find, identical
+    output).  The fingerprint probe each round already computes the
+    count, so the check is free.  0 disables (pure distributed
+    loop, e.g. for the A/B property tests).
     """
     e = _checkpoint(_canon_edges(edges, src, dst), reliable)
     prev = _fingerprint(e)
+    if 0 < prev[0] <= local_finish_edges:
+        return _local_finish(e)
+    if prev[0] == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "node string, component string")
     for _ in range(max_iter):
         for _s in range(max(star_steps_per_round, 1)):
             e = _small_star(_large_star(e))
@@ -118,6 +174,8 @@ def connected_components(edges: DataFrame, src: str = "src",
         cur = _fingerprint(e)
         if cur == prev:
             break
+        if 0 < cur[0] <= local_finish_edges:
+            return _local_finish(e)
         prev = cur
     # converged: every edge is (node -> component representative)
     members = e.select(F.col("b").alias("node"),

@@ -63,15 +63,23 @@ class TestCCProperties:
               suppress_health_check=[HealthCheck.function_scoped_fixture])
     @given(edges=edge_lists)
     def test_star_cc_matches_union_find(self, spark, edges):
+        """Both phases: the distributed star loop
+        (local_finish_edges=0) and the default two-phase path (which
+        takes the local finish on graphs this small) must equal the
+        exact union-find."""
         from rdfa_spark.pipeline.cc import connected_components
         pairs = [(str(a), str(b)) for a, b in edges if a != b]
         if not pairs:
             return
         want = _union_find(pairs)
         df = spark.createDataFrame(pairs, ["src", "dst"])
-        got = {r.node: r.component
-               for r in connected_components(df).collect()}
-        assert got == want
+        got_star = {r.node: r.component
+                    for r in connected_components(
+                        df, local_finish_edges=0).collect()}
+        assert got_star == want
+        got_local = {r.node: r.component
+                     for r in connected_components(df).collect()}
+        assert got_local == want
 
     @settings(max_examples=6, deadline=None,
               suppress_health_check=[HealthCheck.function_scoped_fixture])
@@ -145,3 +153,20 @@ class TestUriResolution:
         got = resolve(ref, base)
         want = urljoin(base, ref)
         assert got == want, (ref, got, want)
+
+
+def test_cc_local_finish_mid_contraction(spark):
+    """The threshold can trigger AFTER distributed rounds have
+    partially contracted the graph: the local finish must be correct
+    on any intermediate (connectivity-equivalent) edge set, not just
+    on raw input."""
+    from rdfa_spark.pipeline.cc import connected_components
+
+    pairs = [(str(i).zfill(3), str(i + 1).zfill(3))
+             for i in range(40) if (i + 1) % 20 != 0]
+    want = _union_find(pairs)
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    got = {r.node: r.component
+           for r in connected_components(
+               df, local_finish_edges=15).collect()}
+    assert got == want
