@@ -238,6 +238,15 @@ def q_nt_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ntriples_lines(_triples(spark, sf_dir))
 
 
+def q_ttl_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 Turtle sink as a graded query: prefix-compressed triple
+    lines (longest-prefix pname match, conservative PN_LOCAL gate) —
+    mirrored by oracle.turtle_lines_sql() generated from the SAME
+    DEFAULT_PREFIXES table."""
+    from rdfa_spark.sinks import turtle_lines
+    return turtle_lines(_triples(spark, sf_dir))
+
+
 def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish pre-tokenizer token counts (lookahead-free GPT-2-style
     regex, JVM-side regexp_extract_all) — mirrored by
@@ -452,6 +461,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_bpe": q_token_bpe,
         "bgp_article": q_bgp_article,
         "nt_lines": q_nt_lines,
+        "ttl_lines": q_ttl_lines,
         "dedup_minhash": q_dedup_minhash,
         "minhash_signature": q_minhash_signature,
         "minhash_band_pairs": q_minhash_band_pairs,
@@ -487,6 +497,7 @@ def oracle_sql() -> dict[str, str]:
         "token_bpe": oracle.TOKEN_BPE_SQL,
         "bgp_article": oracle.BGP_ARTICLE_SQL,
         "nt_lines": oracle.NT_LINES_SQL,
+        "ttl_lines": oracle.turtle_lines_sql(),
         "dedup_minhash": oracle._dedup_minhash_sql(),
         "minhash_signature": oracle.MINHASH_SIGNATURE_SQL,
         "minhash_band_pairs": oracle.MINHASH_BAND_PAIRS_SQL,

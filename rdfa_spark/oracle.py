@@ -750,6 +750,43 @@ def langid_sql() -> str:
     return _langid_cases()
 
 
+def turtle_lines_sql() -> str:
+    """Mirror of sinks.turtle_lines over the trip CTE: same
+    longest-prefix pname compression (generated from the SAME
+    DEFAULT_PREFIXES table), same conservative PN_LOCAL gate, same
+    N-Triples escaping chain, bnodes pass through."""
+    from .sinks import DEFAULT_PREFIXES, _PN_LOCAL_RE
+
+    def term(col: str) -> str:
+        branches = [f"WHEN {col} LIKE '\\_:%' ESCAPE '\\' THEN {col}"]
+        for pfx, uri in sorted(DEFAULT_PREFIXES.items(),
+                               key=lambda kv: -len(kv[1])):
+            u = uri.replace("'", "''")
+            n = len(uri)
+            branches.append(
+                f"WHEN starts_with({col}, '{u}') AND "
+                f"regexp_matches(substr({col}, {n + 1}), "
+                f"'{_PN_LOCAL_RE}') "
+                f"THEN '{pfx}:' || substr({col}, {n + 1})")
+        return ("CASE " + " ".join(branches)
+                + f" ELSE '<' || {col} || '>' END")
+
+    esc = ("replace(replace(replace(replace(replace(obj, '\\', "
+           "'\\\\'), chr(10), '\\n'), chr(13), '\\r'), chr(9), "
+           "'\\t'), '\"', '\\\"')")
+    return TRIPLES_CTE + f"""
+SELECT {term('subj')} || ' ' || {term('pred')} || ' ' ||
+  CASE WHEN obj_is_literal THEN
+    '"' || {esc} || '"'
+    || CASE WHEN obj_datatype IS NOT NULL
+            THEN '^^' || {term('obj_datatype')}
+            WHEN obj_lang IS NOT NULL THEN '@' || obj_lang
+            ELSE '' END
+  ELSE {term('obj')} END || ' .' AS value
+FROM trip
+"""
+
+
 def filter_corpus_sql(min_score_pm: int = 500,
                       languages: tuple = ("en", "unknown")) -> str:
     """End-to-end mirror of pipeline.dedup.filter_corpus: quality

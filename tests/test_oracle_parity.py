@@ -127,3 +127,53 @@ def test_oracle_whitespace_class_matches_java(spark):
         "SELECT len(string_split_regex('one' || chr(11) || "
         "'two three', '[ \\t\\n\\x0b\\f\\r]+'))").fetchone()[0]
     assert n_spark == n_duck == 3
+
+
+def test_turtle_term_compression_parity(spark):
+    """The Turtle oracle must mirror sinks._term_turtle on edge
+    inputs: bnodes, compressible pnames, local parts failing the
+    PN_LOCAL gate (dots, leading digit, %-escapes), literals with
+    escapes, compressed xsd datatypes."""
+    from pyspark.sql import functions as F
+
+    from rdfa_spark import oracle
+    from rdfa_spark.sinks import turtle_lines
+
+    DC = "http://purl.org/dc/terms/"
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    rows = [
+        ("u", "_:b0", DC + "title", 'q"t\n\\x', True, None, "en"),
+        ("u", "http://s/1", DC + "relation", "_:b1", False, None,
+         None),
+        ("u", DC + "ok_name", DC + "weird.dot", DC + "9leads",
+         False, None, None),
+        ("u", DC + "pct%20esc", "http://schema.org/name", "42",
+         True, XSD + "integer", None),
+        ("u", "http://unknown.example/x", DC + "title", "plain",
+         True, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, subj string, pred string, obj string, "
+              "obj_is_literal boolean, obj_datatype string, "
+              "obj_lang string").withColumn(
+        "graph", F.lit(None).cast("string"))
+    got = sorted(r.value for r in turtle_lines(df).collect())
+
+    sql = oracle.turtle_lines_sql()
+    tail = sql[sql.rindex("SELECT"):]
+    con = duckdb.connect()
+    con.execute("""
+        CREATE TABLE trip (subj VARCHAR, pred VARCHAR, obj VARCHAR,
+                           obj_is_literal BOOLEAN,
+                           obj_datatype VARCHAR, obj_lang VARCHAR)""")
+    con.executemany(
+        "INSERT INTO trip VALUES (?, ?, ?, ?, ?, ?)",
+        [(s, p, o, lit, dt, lg) for _, s, p, o, lit, dt, lg in rows])
+    want = sorted(r[0] for r in con.execute(tail).fetchall())
+    assert got == want
+    assert any(v.startswith("dcterms:ok_name ") for v in got)
+    assert any("^^xsd:integer" in v for v in got)
+    # PN_LOCAL gate: dotted/leading-digit/%-escaped stay <wrapped>
+    assert any(f"<{DC}weird.dot>" in v for v in got)
+    assert any(f"<{DC}9leads>" in v for v in got)
+    assert any(f"<{DC}pct%20esc>" in v for v in got)
