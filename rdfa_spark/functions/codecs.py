@@ -243,6 +243,53 @@ def gif_dimensions(data: bytes) -> tuple[int, int]:
     return w, h
 
 
+def gif_frames(data: bytes) -> int:
+    """Frame count by walking the GIF89a block structure (public
+    spec): skip the logical screen descriptor + optional global color
+    table, then count image descriptors (0x2C), skipping extensions
+    (0x21, label + data sub-blocks) and each image's optional local
+    color table + LZW data sub-blocks, until the 0x3B trailer.
+    Truncated files raise ValueError (never a silent count)."""
+    if data[:3] != b"GIF":
+        raise ValueError("not a GIF")
+    pos = 6 + 7                        # header + LSD
+    packed = data[10]
+    if packed & 0x80:                  # global color table
+        pos += 3 * (2 << (packed & 0x07))
+    frames = 0
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(data):
+                raise ValueError("truncated GIF sub-blocks")
+            n = data[p]
+            p += 1
+            if n == 0:
+                return p
+            p += n
+
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:              # trailer
+            return frames
+        if block == 0x21:              # extension: label + sub-blocks
+            pos = skip_subblocks(pos + 1)
+        elif block == 0x2C:            # image descriptor
+            if pos + 9 > len(data):
+                raise ValueError("truncated GIF image descriptor")
+            lpacked = data[pos + 8]
+            pos += 9
+            if lpacked & 0x80:         # local color table
+                pos += 3 * (2 << (lpacked & 0x07))
+            pos += 1                   # LZW minimum code size
+            pos = skip_subblocks(pos)
+            frames += 1
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    raise ValueError("GIF missing trailer")
+
+
 def webp_dimensions(data: bytes) -> tuple[int, int]:
     """(width, height) from the WebP header — all three container
     variants, per the public WebP container/bitstream specs:
@@ -294,7 +341,11 @@ def real_decode(payload: bytes, kind: str):
         return w, h, 1, None          # dims only: no stdlib DCT
     if fmt == "gif":
         w, h = gif_dimensions(payload)
-        return w, h, 1, None
+        try:
+            nf = gif_frames(payload)
+        except ValueError:
+            nf = 1                    # dims-only on malformed blocks
+        return w, h, nf, None
     if fmt == "webp":
         w, h = webp_dimensions(payload)
         return w, h, 1, None          # dims only: no stdlib VP8 DCT

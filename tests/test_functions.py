@@ -604,3 +604,43 @@ def test_frame_sample_reports_null_n_frames(spark):
     assert rows == {("v1", 0), ("v1", 8), ("v1", 16)}
     skipped = [r.asset_id for r in out.skipped_assets.collect()]
     assert skipped == ["v2"]
+
+
+def test_gif_frame_count_block_walk():
+    """GIF frame counting walks the real block structure: global and
+    local color tables, extensions with sub-blocks, multiple image
+    descriptors; truncation raises rather than under-counting."""
+    import struct
+
+    import pytest as _pytest
+
+    from rdfa_spark.functions.codecs import (gif_dimensions,
+                                             gif_frames, real_decode)
+
+    def gif(n_frames, gct=True, lct_on_first=True, with_gce=True):
+        packed = 0x80 | 0x01 if gct else 0x01   # gct flag, 2^2 colors
+        out = (b"GIF89a" + struct.pack("<HH", 7, 5)
+               + bytes([packed, 0, 0]))
+        if gct:
+            out += b"\x00" * (3 * 4)
+        for i in range(n_frames):
+            if with_gce:                        # graphic control ext
+                out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+            lct = lct_on_first and i == 0
+            out += b"\x2c" + struct.pack("<HHHH", 0, 0, 7, 5) \
+                + bytes([0x80 | 0x01 if lct else 0])
+            if lct:
+                out += b"\x00" * (3 * 4)
+            out += b"\x02" + b"\x03" + b"\x44\x01\x05" + b"\x00"
+        return out + b"\x3b"
+
+    for n in (1, 3, 7):
+        payload = gif(n)
+        assert gif_frames(payload) == n
+        assert gif_dimensions(payload) == (7, 5)
+        w, h, nf, feat = real_decode(payload, "image")
+        assert (w, h, nf) == (7, 5, n)
+    assert gif_frames(gif(2, gct=False, lct_on_first=False,
+                          with_gce=False)) == 2
+    with _pytest.raises(ValueError):
+        gif_frames(gif(2)[:-5])      # truncated mid-frame
