@@ -79,6 +79,60 @@ def emb_at(spark, scale):
     return emb.localCheckpoint(eager=True)
 
 
+def skew_rehearsal():
+    """Hot-node CC above the local-finish threshold: a 250k-edge
+    graph whose hub has degree 200k (the giant-component star
+    pattern AQE can't re-plan inside an iterative loop).  Compares
+    the plain distributed loop vs explicit hot-node salting; both
+    must produce the identical labeling."""
+    from pyspark.sql import functions as FF
+
+    from rdfa_spark.pipeline.cc import (connected_components,
+                                        connected_components_salted)
+    from rdfa_spark.session import get_spark
+
+    spark = get_spark("bench_skew", cpus=CPUS,
+                      shuffle_partitions=2 * CPUS)
+    hub = spark.range(200_000).select(
+        FF.lit("hub").alias("src"),
+        FF.concat(FF.lit("s"), FF.lpad(FF.col("id").cast("string"),
+                                       7, "0")).alias("dst"))
+    chain = spark.range(50_000).select(
+        FF.concat(FF.lit("c"), FF.lpad(FF.col("id").cast("string"),
+                                       7, "0")).alias("src"),
+        FF.concat(FF.lit("c"), FF.lpad((FF.col("id") + 1)
+                                       .cast("string"),
+                                       7, "0")).alias("dst"))
+    edges = hub.unionByName(chain).repartition(2 * CPUS) \
+        .localCheckpoint(eager=True)
+    n_edges = edges.count()
+
+    t0 = time.time()
+    plain = connected_components(edges).localCheckpoint(eager=True)
+    t_plain = round(time.time() - t0, 2)
+    n_plain = plain.count()
+    t0 = time.time()
+    salted = connected_components_salted(edges, max_degree=50_000,
+                                         n_salts=16) \
+        .localCheckpoint(eager=True)
+    t_salted = round(time.time() - t0, 2)
+    n_salted = salted.count()
+    mismatch = (plain.alias("p")
+                .join(salted.alias("s"), "node", "full")
+                .filter((FF.col("p.component") !=
+                         FF.col("s.component"))
+                        | FF.col("p.component").isNull()
+                        | FF.col("s.component").isNull())
+                .count())
+    print(json.dumps({
+        "metric": "skew_rehearsal", "n_edges": n_edges,
+        "hub_degree": 200_000,
+        "plain_sec": t_plain, "salted_sec": t_salted,
+        "labels_plain": n_plain, "labels_salted": n_salted,
+        "label_mismatches": mismatch}))
+    spark.stop()
+
+
 def main():
     from rdfa_spark.extract import extract_triples
     from rdfa_spark.functions.similarity import (embedding_dim,
@@ -169,4 +223,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--skew" in sys.argv:
+        skew_rehearsal()
+    else:
+        main()
