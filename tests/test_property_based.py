@@ -135,7 +135,7 @@ class TestSoupRobustness:
 # ---------------------------------------------------------------------------
 
 rel_refs = st.one_of(
-    st.sampled_from(["", ".", "..", "./a", "../a/b", "a/b/c", "/abs",
+    st.sampled_from(["", "#", ".", "..", "./a", "../a/b", "a/b/c", "/abs",
                      "//host/x", "?q=1", "#frag", "a?q#f", "a/./b",
                      "a/../../b", "http://other.example/p?q#f"]),
     st.text(alphabet="abcdefgh./?#", min_size=0, max_size=12),
@@ -144,15 +144,27 @@ rel_refs = st.one_of(
 
 class TestUriResolution:
     @settings(max_examples=200, deadline=None)
-    @given(ref=rel_refs)
-    def test_resolve_matches_urljoin(self, ref):
+    @given(ref=rel_refs,
+           base=st.sampled_from([
+               "http://example.com/dir/doc",
+               "http://example.com/dir/doc#frag",
+               "https://example.com/",
+               "http://example.com/a/b/?q=1",
+               "ftp://example.com/dir/doc",
+           ]))
+    def test_resolve_matches_urljoin(self, ref, base):
         from urllib.parse import urljoin
 
         from rdfa_spark.core.uri import resolve
-        base = "http://example.com/dir/doc"
         got = resolve(ref, base)
-        want = urljoin(base, ref)
-        assert got == want, (ref, got, want)
+        if ref == "":
+            # deliberate divergence: empty ref drops the base
+            # fragment (RFC 3986 strict / RDFa about="" = current
+            # document); urljoin keeps it (RFC 1808 behavior)
+            want = (base.split("#", 1)[0] if "#" in base else base)
+        else:
+            want = urljoin(base, ref)
+        assert got == want, (ref, base, got, want)
 
 
 def test_cc_local_finish_mid_contraction(spark):
