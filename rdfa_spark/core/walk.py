@@ -410,6 +410,33 @@ class Walker:
             return False
         return True
 
+    _LEAF_LINK_TAGS = frozenset(("a", "link", "img", "area"))
+
+    def _is_leaf_link(self, el: Element, ctx: _Ctx) -> bool:
+        """True for the crawl-dominant bare navigation link/image: an
+        <a>/<link>/<img>/<area> whose only RDFa-relevant attributes
+        are @href/@src, with NO element children and NO pending
+        incomplete triples.  Such an element establishes a new
+        subject (RDFa Core step 5) but emits nothing and its context
+        change is scoped to a subtree with no elements — fully
+        unobservable, so processing reduces to nothing.  Pending
+        incomplete triples disqualify it (the new subject would
+        complete a hanging @rel); so does any other relevant
+        attribute or an atom host (feed link semantics)."""
+        if ctx.incomplete_triples or self.config.atom_elements:
+            return False
+        if el.localname not in self._LEAF_LINK_TAGS:
+            return False
+        for k in el.attrs:
+            if (k in self._RELEVANT_ATTRS
+                    and k not in ("href", "src")) \
+                    or k.startswith("xml"):
+                return False
+        for c in el.children:
+            if isinstance(c, Element):
+                return False
+        return True
+
     # ------------------------------------------------------------------
     def _consume_element(self, el: Element, ctx: _Ctx) -> bool:
         cfg = self.config
@@ -428,6 +455,9 @@ class Walker:
             for kid in el.child_elements():
                 flag = self._consume_element(kid, ctx) or flag
             return flag
+        if el.parent is not None and cfg.ns is None \
+                and not cfg.graph and self._is_leaf_link(el, ctx):
+            return False    # bare leaf link: nothing observable
 
         # hot path: RDFa attributes are unprefixed unless the host
         # sets a namespace (ODF); bind the lookup once per element

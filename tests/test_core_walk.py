@@ -437,3 +437,43 @@ class TestDedupInStore:
          </body></html>"""
         w = parse_rdfa(doc, "http://example.com/")
         assert count(w, EX + "a", EX + "p", EX + "b") == 1
+
+
+def test_leaf_link_fast_path_disqualifiers():
+    """The bare-leaf-link fast path must stand down exactly when the
+    element is observable: completing a hanging @rel, hosting an
+    element child whose subject it sets, or carrying any other RDFa
+    attribute."""
+    from rdfa_spark.core import make_config, parse_rdfa
+
+    DC = "http://purl.org/dc/terms/"
+    base = "http://example.com/doc"
+
+    # 1. hanging @rel completed by the leaf link's new subject
+    w = parse_rdfa(
+        f'<html xmlns:dc="{DC}"><body>'
+        f'<div about="#s" rel="dc:relation"><a href="/y">l</a></div>'
+        f'</body></html>'.encode(),
+        base, make_config("html5", "1.1"))
+    assert (base + "#s", DC + "relation",
+            "http://example.com/y") in [
+        (t.subj, t.pred, t.obj) for t in w.triples]
+
+    # 2. element child inherits the link's subject
+    w = parse_rdfa(
+        f'<html xmlns:dc="{DC}"><body>'
+        f'<a href="/y"><span property="dc:title">T</span></a>'
+        f'</body></html>'.encode(),
+        base, make_config("html5", "1.1"))
+    assert ("http://example.com/y", DC + "title", "T") in [
+        (t.subj, t.pred, t.obj) for t in w.triples]
+
+    # 3. a genuinely bare leaf link emits nothing
+    w = parse_rdfa(
+        f'<html xmlns:dc="{DC}"><body>'
+        f'<a href="/y">l</a><img src="i.png"/>'
+        f'<p about="#s" property="dc:title">T</p></body></html>'
+        .encode(),
+        base, make_config("html5", "1.1"))
+    trips = [(t.subj, t.pred, t.obj) for t in w.triples]
+    assert trips == [(base + "#s", DC + "title", "T")]
