@@ -316,6 +316,59 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_events", "start_sec", "end_sec"))
 
 
+def q_event_sessions_stream(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """§2.8 stateful streaming as a GRADED query: the
+    applyInPandasWithState sessionizer replayed over the bounded
+    events table via Structured Streaming (availableNow,
+    one-file-per-micro-batch), checked against the SAME DuckDB
+    oracle as the batch window-function query — batch/stream parity
+    is the oracle.  Sentinel far-future events (user_id -1) advance
+    the watermark so every open session closes via event-time
+    timeout; they are filtered from the result."""
+    import os
+    import tempfile
+    import time as _time
+
+    from rdfa_spark.streaming.stateful import sessionize_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id",
+        F.col("ts").cast("timestamp_ltz").alias("ts"))
+    max_sec = ev.agg(F.max(F.col("ts").cast("long"))).first()[0]
+    src = tempfile.mkdtemp(prefix="sess_stream_")
+
+    def write_file(name, df):
+        df.coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/{name}")
+        _time.sleep(1.05)       # distinct mtimes -> trigger order
+
+    write_file("f1", ev)
+    for i, days in enumerate((10, 20)):   # watermark pushers
+        write_file(f"f{2 + i}", spark.createDataFrame(
+            [(-1, i, max_sec + days * 86400)],
+            "user_id long, event_id long, sec long")
+            .select("user_id", "event_id",
+                    F.col("sec").cast("timestamp").alias("ts")))
+
+    name = f"sess_stream_{os.getpid()}_{int(_time.time() * 1000) % 10**9}"
+    stream = (spark.readStream
+              .schema("user_id long, event_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{src}/*"))
+    q = (sessionize_stream(stream)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    import shutil
+    shutil.rmtree(src, ignore_errors=True)  # results live in the
+    return (spark.table(name)                # memory sink now
+            .filter(F.col("user_id") >= 0)
+            .select("user_id", "session_id", "n_events",
+                    "start_sec", "end_sec"))
+
+
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way join + agg over the TPC-H-ish tables; broadcast dims,
     exact decimal arithmetic so shuffle order can't perturb values."""
@@ -469,6 +522,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "event_sessions": q_event_sessions,
+        "event_sessions_stream": q_event_sessions_stream,
         "revenue_by_nation": q_revenue_by_nation,
         "embedding_near_dup": q_embedding_near_dup,
         "simhash_signature": q_simhash_signature,
@@ -506,6 +560,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": oracle._lsh_topk_sql(multiprobe=3),
         "simhash_signature": oracle.SIMHASH_SIGNATURE_SQL,
         "event_sessions": oracle.EVENT_SESSIONS_SQL,
+        "event_sessions_stream": oracle.EVENT_SESSIONS_SQL,
         "revenue_by_nation": oracle.REVENUE_BY_NATION_SQL,
         "embedding_near_dup": oracle.EMBEDDING_NEAR_DUP_SQL,
         "filter_corpus": oracle.filter_corpus_sql(),
