@@ -43,6 +43,18 @@ def get_spark(app_name: str = "rdfa_spark",
         # big enough to amortize the per-batch channel cost, small
         # enough that giant pages can't blow worker memory)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # scan-split and post-shuffle sizing for the crawl workload:
+        # 64 MB input splits keep page-blob scan tasks balanced for
+        # the Python workers; AQE coalesces small shuffles toward
+        # 32 MB partitions (our intermediate tables are narrow), so
+        # tiny-stage queries don't schedule hundreds of empty tasks
+        .config("spark.sql.files.maxPartitionBytes", str(64 * 1024 * 1024))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                str(32 * 1024 * 1024))
+        # parquet sinks (materialize.py) write zstd: ~30% smaller
+        # than snappy at similar scan speed — at 100 TB the storage
+        # and shuffle-read savings dominate the encode cost
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
