@@ -305,14 +305,17 @@ def _wait_for_clean_window(exec_cores: int) -> dict:
     so the reader can see the window quality)."""
     min_ceiling = float(os.environ.get("SPARK_GRAFT_MIN_CEILING",
                                        "0.9"))
-    retries = int(os.environ.get("SPARK_GRAFT_CEILING_RETRIES", "4"))
+    # bounded so a driver-side bench timeout can't be eaten by the
+    # guard: worst case ~2 sleeps + 3 probes ~= 4 min on top of the
+    # ~4 min bench itself
+    retries = int(os.environ.get("SPARK_GRAFT_CEILING_RETRIES", "2"))
     probe = _hw_control(exec_cores)
     attempts = 1
     while probe["hw_ceiling"] < min_ceiling and attempts <= retries:
         print(f"# noisy window: hw_ceiling {probe['hw_ceiling']} < "
-              f"{min_ceiling}; sleeping 90s "
+              f"{min_ceiling}; sleeping 60s "
               f"(retry {attempts}/{retries})", file=sys.stderr)
-        time.sleep(90)
+        time.sleep(60)
         probe = _hw_control(exec_cores)
         attempts += 1
     probe["min_ceiling"] = min_ceiling
