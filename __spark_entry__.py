@@ -104,6 +104,26 @@ def q_rdfa_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "text")
 
 
+def q_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 model sink as a GRADED query: extract -> subject-bucketed
+    parquet write -> read back, checked against the SAME triples
+    oracle — the persistence layer must be lossless (types, NULLs,
+    unicode) and the oracle proves it end-to-end."""
+    import shutil
+    import tempfile
+
+    from rdfa_spark.pipeline.materialize import write_triples
+
+    out = tempfile.mkdtemp(prefix="model_sink_")
+    shutil.rmtree(out, ignore_errors=True)
+    write_triples(_triples(spark, sf_dir), out, mode="overwrite")
+    back = spark.read.parquet(out).select(
+        "url", "subj", "pred", "obj", "obj_is_literal",
+        "obj_datatype", "obj_lang").localCheckpoint(eager=True)
+    shutil.rmtree(out, ignore_errors=True)  # rows live in the
+    return back                             # checkpoint now
+
+
 def q_entity_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-linking stage 1: mention table with normalized keys."""
     t = _triples(spark, sf_dir)
@@ -496,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rdfa_triples": q_rdfa_triples,
+        "model_roundtrip": q_model_roundtrip,
         "rdfa_og_title": q_rdfa_og_title,
         "rdfa_pred_counts": q_rdfa_pred_counts,
         "rdfa_text": q_rdfa_text,
@@ -533,6 +554,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "rdfa_triples": oracle.RDFA_TRIPLES_SQL,
+        "model_roundtrip": oracle.RDFA_TRIPLES_SQL,
         "rdfa_og_title": oracle.RDFA_OG_TITLE_SQL,
         "rdfa_pred_counts": oracle.RDFA_PRED_COUNTS_SQL,
         "rdfa_text": oracle.RDFA_TEXT_SQL,
