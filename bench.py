@@ -166,7 +166,7 @@ def _hw_worker(nproc: int, seconds: float = 10.0) -> None:
     print(json.dumps({"pages_per_sec": round(sum(counts) / seconds, 1)}))
 
 
-def _hw_control(exec_cores: int) -> dict:
+def _hw_control(exec_cores: int, seconds: float = 10.0) -> dict:
     """The box's own concurrency ceiling, NO Spark involved: the same
     pure-Python parse loop as 1 group of `exec_cores` processes alone
     vs 4 concurrent groups on disjoint core sets.  Whatever ratio
@@ -185,7 +185,7 @@ def _hw_control(exec_cores: int) -> dict:
     gap."""
     def cmd(core_range):
         c = [sys.executable, os.path.abspath(__file__),
-             "--hw-worker", str(exec_cores)]
+             "--hw-worker", str(exec_cores), str(seconds)]
         if os.path.exists("/usr/bin/taskset"):
             c = ["taskset", "-c", core_range] + c
         return c
@@ -318,14 +318,18 @@ def _wait_for_clean_window(exec_cores: int) -> dict:
     # guard: worst case ~2 sleeps + 3 probes ~= 4 min on top of the
     # ~4 min bench itself
     retries = int(os.environ.get("SPARK_GRAFT_CEILING_RETRIES", "2"))
-    probe = _hw_control(exec_cores)
+    # 6 s burst probes: a quiet box bursts to ~1.0 regardless of
+    # its sustained-turbo ceiling, so <0.9 here means EXTERNAL steal
+    # (the live in-record control uses 10 s windows to measure the
+    # sustained ceiling for normalization — different question)
+    probe = _hw_control(exec_cores, seconds=6.0)
     attempts = 1
     while probe["hw_ceiling"] < min_ceiling and attempts <= retries:
         print(f"# noisy window: hw_ceiling {probe['hw_ceiling']} < "
               f"{min_ceiling}; sleeping 60s "
               f"(retry {attempts}/{retries})", file=sys.stderr)
         time.sleep(60)
-        probe = _hw_control(exec_cores)
+        probe = _hw_control(exec_cores, seconds=6.0)
         attempts += 1
     probe["min_ceiling"] = min_ceiling
     probe["probe_attempts"] = attempts
@@ -408,6 +412,7 @@ if __name__ == "__main__":
         replicate = int(sys.argv[3]) if len(sys.argv) > 3 else REPLICATE
         print(json.dumps(_extraction_throughput(cpus, replicate)))
     elif len(sys.argv) >= 2 and sys.argv[1] == "--hw-worker":
-        _hw_worker(int(sys.argv[2]))
+        _hw_worker(int(sys.argv[2]),
+                   float(sys.argv[3]) if len(sys.argv) > 3 else 10.0)
     else:
         main()
