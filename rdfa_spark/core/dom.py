@@ -378,6 +378,12 @@ class _SoupBuilder(HTMLParser):
         # no clone, so <b><i>x</b></i> leaves no empty <i>)
         self._pending_fmt: list[tuple[str, dict]] = []
 
+    def updatepos(self, i, j):
+        """No-op position tracking: html.parser counts newlines per
+        chunk only to serve getpos(), which this builder never calls
+        — the scan is pure overhead on crawl-sized soup."""
+        return j
+
     def _ensure_root(self):
         if self.root is None:
             self.root = Element("html", {})
@@ -597,14 +603,7 @@ class _SoupBuilder(HTMLParser):
             self.stack[-1].children.append(Comment(data))
 
 
-def parse_html(markup: bytes | str) -> Document:
-    """Tag-soup parse; always succeeds (HTML5-parser analogue,
-    reference: Parser.pm:103-107)."""
-    if isinstance(markup, bytes):
-        markup = markup.decode("utf-8", "replace")
-    b = _SoupBuilder()
-    b.feed(markup)
-    b.close()
+def _finish_soup(b: _SoupBuilder) -> Document:
     if b.root is None:
         b.root = Element("html", {})
     # HTML5 parsers place elements in the XHTML namespace; mirror that
@@ -612,6 +611,35 @@ def parse_html(markup: bytes | str) -> Document:
     if "xmlns" not in b.root.attrs:
         b.root.attrs["xmlns"] = XHTML_NS
     return Document(b.root)
+
+
+def parse_html(markup: bytes | str) -> Document:
+    """Tag-soup parse; always succeeds (HTML5-parser analogue,
+    reference: Parser.pm:103-107).  Tokenized by the fast regex
+    lexer (soup_lexer.py) — DOM-equal to the stdlib html.parser
+    tokenizer, pinned by tests/test_soup_lexer_ab.py; set
+    RDFA_SPARK_STDLIB_SOUP=1 to force the stdlib path."""
+    import os
+
+    if os.environ.get("RDFA_SPARK_STDLIB_SOUP"):
+        return parse_html_stdlib(markup)
+    if isinstance(markup, bytes):
+        markup = markup.decode("utf-8", "replace")
+    from .soup_lexer import feed_events
+
+    b = _SoupBuilder()
+    feed_events(b, markup)
+    return _finish_soup(b)
+
+
+def parse_html_stdlib(markup: bytes | str) -> Document:
+    """The html.parser-tokenized path (A/B oracle for the lexer)."""
+    if isinstance(markup, bytes):
+        markup = markup.decode("utf-8", "replace")
+    b = _SoupBuilder()
+    b.feed(markup)
+    b.close()
+    return _finish_soup(b)
 
 
 def parse_markup(markup: bytes | str, dom_parser: str = "xml") -> Document:

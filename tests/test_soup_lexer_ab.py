@@ -1,0 +1,92 @@
+"""A/B oracle for the fast soup lexer: the regex lexer and the
+stdlib html.parser tokenizer must build IDENTICAL DOM trees.  The
+lexer transliterates html.parser's decision order using its own
+module-level regexes; this suite is the contract that keeps it
+honest (edge cases, every soup/matrix conformance markup, and a
+tag-soup fuzz corpus)."""
+
+from __future__ import annotations
+
+import random
+
+from rdfa_spark.core.dom import (Comment, parse_html,
+                                 parse_html_stdlib)
+
+
+def _ser(node):
+    if isinstance(node, str):
+        return ("T", node)
+    if isinstance(node, Comment):
+        return ("C", node.data)
+    return ("E", node.tag, tuple(sorted(node.attrs.items())),
+            tuple(_ser(c) for c in node.children))
+
+
+def _ab(markup):
+    got = _ser(parse_html(markup).root)
+    want = _ser(parse_html_stdlib(markup).root)
+    assert got == want, (repr(markup)[:200], got, want)
+
+
+EDGE_CASES = [
+    '<a href=x/>v</a>', '<br/>', '<a href="x"/>', '<img src=i.png>',
+    '<p attr=">">t</p>', "<p a='>'>t</p>", '<p a>t</p>',
+    '<a b=1 c = 2 d>t', '<a b="&amp;">t',
+    '<p>&lt;x&gt; &amp; &nbsp;</p>',
+    '<script>var x = "<p>"; if (a<b && c>d) {}</script>after',
+    '<script>x</scriptx>more</script>tail',
+    '<style>p > a { color: &red }</style>', '<script src=x.js/>text',
+    '<!doctype html><p>t</p>', '<!DOCTYPE HTML PUBLIC "x">t',
+    '<![CDATA[a>b]]>t', '<!bogus>t', '<!>t', '<?pi stuff>t', '<?>t',
+    '</>t', '</ >t', '</p junk>t', '</p >t', '</@>t',
+    '<p', '<p a', '<p a="x', 'text<', 'a<1>b', 'a< b>c', '<<p>>x',
+    '<!--c-->t', '<!--c', '<!---->t', '<!-- a -- b -->t',
+    '<P CLASS="X">t</P>', '<p\nclass="x">t', '<p\tclass=x>t',
+    '<a href=%3F>t', '<a href="">t', "<a href=''>t",
+    '<e 1bad=x>t', "<e 'q'=v>t", '<e a=b=c>t', '<e ==>t', '<e =x>t',
+    '<e a==x>t', '<e/ >t', '<e / >t', '<e//>t', '<e a/>t',
+    '<e a />t', '\x00<p>\x00x</p>',
+    '<p>a&#65;b&#x42;c&unknown;d&amp</p>',
+    '<svg><circle r=1/></svg>', '<math><mi>x</mi></math>',
+    '<script></SCRIPT>t', '<script></script >t',
+    '<script></script\n>t', '<script><!--</script>-->t',
+    '<style></StYlE>u', '<table>x<tr><td>y', '<b><i>x</b>y</i>',
+    '<b><p>q</b>r</p>', '<span property="<table><tr><td>x',
+    '<a href="x"<b>y</b>', '</scr', '<script></scrx',
+]
+
+FUZZ_FRAGS = [
+    "<div>", "</div>", "<p about='#a'", ">", "<span property=",
+    "'dc:title'>", "text & more", "<!-- c -->", "</p>", "<br>",
+    "<a href='x'", "rel=next", "<<<", "&bogus;", "&amp;",
+    "<b><i>", "</b>", "\x00", "<table><tr><td>", 'attr="v',
+    "<script>var x='<p>';</script>", "]]>", "<![CDATA[hi]]>",
+    "<p ABOUT='#b' PROPERTY='dc:x'>", "￿", '="', "~~",
+    "<e a=b/>", "</scr", "<!doc", "<?php ?>", "'", '"', "=",
+    "/>", "< ", "<1>", "&#65;", "&#xGG;", "<style>a{&}</style>",
+]
+
+
+def test_edge_cases():
+    for c in EDGE_CASES:
+        _ab(c)
+
+
+def test_conformance_soup_markups():
+    """Every soup/tag-soup conformance markup builds identically."""
+    import test_w3c_suite as w
+
+    n = 0
+    for case in w.CASES:
+        if case.host in ("html4", "html5", "html32"):
+            _ab(case.markup)
+            n += 1
+    assert n > 300, n
+
+
+def test_fuzz_parity():
+    random.seed(1234)
+    for _ in range(1500):
+        s = "".join(random.choice(FUZZ_FRAGS)
+                    for _ in range(random.randrange(0, 18)))
+        _ab(s)
