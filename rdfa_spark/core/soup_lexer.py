@@ -143,7 +143,10 @@ def feed_events(builder, markup: str) -> None:  # noqa: C901
                 k = am.end()
             end = markup[k:endpos].strip()
             if end not in (">", "/>"):
-                emit_text(i, endpos)     # junk tag -> literal text
+                # junk tag -> literal text, RAW: parse_starttag's
+                # handle_data here does NOT unescape (unlike the
+                # goahead recovery paths)
+                handle_data(markup[i:endpos])
                 i = endpos
                 continue
             if end.endswith("/>"):

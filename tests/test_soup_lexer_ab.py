@@ -53,6 +53,8 @@ EDGE_CASES = [
     '<style></StYlE>u', '<table>x<tr><td>y', '<b><i>x</b>y</i>',
     '<b><p>q</b>r</p>', '<span property="<table><tr><td>x',
     '<a href="x"<b>y</b>', '</scr', '<script></scrx',
+    # junk start tag is emitted RAW (no charref conversion):
+    '<<<a=&quot;b&quot;<a\x00b>&amp;x', '<a=&quot;>t', '<xy&amp;z>t',
 ]
 
 FUZZ_FRAGS = [
@@ -64,6 +66,8 @@ FUZZ_FRAGS = [
     "<p ABOUT='#b' PROPERTY='dc:x'>", "￿", '="', "~~",
     "<e a=b/>", "</scr", "<!doc", "<?php ?>", "'", '"', "=",
     "/>", "< ", "<1>", "&#65;", "&#xGG;", "<style>a{&}</style>",
+    "<![CDATA[", "-->", "a=&quot;b&quot;", "<a\x00b>", "<=>",
+    "<a 'v\">", "<!x", "<t:ns attr:x='1'>", "</t:ns>",
 ]
 
 
