@@ -186,6 +186,9 @@ class Walker:
         self._bnode_prefix = hashlib.md5(
             base.encode("utf-8")).hexdigest()[:10]
         self._cur_element: Element | None = None
+        # (token, attr, id(prefixes), id(terms), xml_base) ->
+        # (prefixes, terms, iri): see expand_curie
+        self._curie_memo: dict = {}
 
         # F7 auto-config from <meta> (Config.pm:405-459; flag off by
         # default, as in the reference)
@@ -310,6 +313,22 @@ class Walker:
                      prefixes: Mappings, terms: TermMap,
                      xml_base: str | None = None,
                      **extra) -> str | None:
+        # memo for SUCCESSFUL, side-effect-free expansions: the same
+        # tokens (og:title, dc:*, schema terms) repeat many times per
+        # page against the same mapping objects.  Excluded on
+        # purpose: bnode tokens (each `_:` call allocates), failed
+        # expansions (each logs a processor-graph warning — caching
+        # would collapse warning counts), and extra-kwarg calls.
+        # The cache value pins the mapping objects so a recycled
+        # id() can never alias a dead key.
+        cacheable = (not extra and not token.startswith("_")
+                     and not self.token_rewrites)
+        if cacheable:
+            key = (token, attribute, id(prefixes), id(terms),
+                   xml_base)
+            hit = self._curie_memo.get(key)
+            if hit is not None:
+                return hit[2]
         r = expand_curie(
             token, attribute, prefixes, terms,
             bnode=lambda ident: self.bnode(
@@ -321,6 +340,8 @@ class Walker:
             full_uris=self.config.full_uris,
             **extra,
         )
+        if cacheable and r is not None:
+            self._curie_memo[key] = (prefixes, terms, r)
         # ontoken hook analogue: broadcast rewrite dict
         # (Parser.pm:2743-2754; SURVEY.md §2.9)
         if self.token_rewrites:
