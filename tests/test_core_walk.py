@@ -477,3 +477,24 @@ def test_leaf_link_fast_path_disqualifiers():
         base, make_config("html5", "1.1"))
     trips = [(t.subj, t.pred, t.obj) for t in w.triples]
     assert trips == [(base + "#s", DC + "title", "T")]
+
+
+def test_leaf_link_fast_path_inlist_completion():
+    """@inlist hanging rel: both leaf links must join the rdf:List
+    in document order (the incomplete-triples gate disqualifies the
+    fast path here)."""
+    from rdfa_spark.core import make_config, parse_rdfa
+
+    base = "http://example.com/doc"
+    w = parse_rdfa(
+        '<html prefix="ex: http://example.org/"><body>'
+        '<div about="#s" rel="ex:part" inlist="">'
+        '<a href="/y">l</a><a href="/z">m</a></div>'
+        '</body></html>'.encode(),
+        base, make_config("html5", "1.1"))
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    trips = [(t.subj, t.pred, t.obj) for t in w.triples]
+    firsts = [o for s, p, o in trips if p == RDF + "first"]
+    assert firsts == ["http://example.com/y", "http://example.com/z"]
+    assert any(s == base + "#s" and p == "http://example.org/part"
+               for s, p, o in trips)
