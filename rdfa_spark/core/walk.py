@@ -473,8 +473,9 @@ class Walker:
                 and (ctx.parent_object is None
                      or ctx.parent_object == ctx.parent_subject):
             flag = False
-            for kid in el.child_elements():
-                flag = self._consume_element(kid, ctx) or flag
+            for kid in el.children:
+                if kid.__class__ is Element:
+                    flag = self._consume_element(kid, ctx) or flag
             return flag
         if el.parent is not None and cfg.ns is None \
                 and not cfg.graph and self._is_leaf_link(el, ctx):
@@ -1049,8 +1050,10 @@ class Walker:
                     graph=graph,
                     xml_base=xml_base,
                 )
-            for kid in el.child_elements():
-                flag = self._consume_element(kid, child_ctx) or flag
+            for kid in el.children:
+                if kid.__class__ is Element:
+                    flag = self._consume_element(kid, child_ctx) \
+                        or flag
 
         # ---- rdf:List emission (Parser.pm:2114-2188)
         meta = list_mappings.get("::meta")
