@@ -254,7 +254,7 @@ def _executor_sim(exec_cores: int, replicate: int) -> dict:
 
     start = time.time()
     budget_sec = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET",
-                                      "340"))
+                                      "260"))
     ones = [one()]
     one_cost = time.time() - start
     fours = [four()]
@@ -315,9 +315,11 @@ def _wait_for_clean_window(exec_cores: int) -> dict:
     min_ceiling = float(os.environ.get("SPARK_GRAFT_MIN_CEILING",
                                        "0.9"))
     # bounded so a driver-side bench timeout can't be eaten by the
-    # guard: worst case ~2 sleeps + 3 probes ~= 4 min on top of the
-    # ~4 min bench itself
-    retries = int(os.environ.get("SPARK_GRAFT_CEILING_RETRIES", "2"))
+    # guard: worst case one sleep + two probes ~= 2 min on top of
+    # the ~4-5 min bench itself (a full run measured 8.5 min with
+    # the old 2-retry guard in a noisy window — too close to any
+    # external 10-min cap)
+    retries = int(os.environ.get("SPARK_GRAFT_CEILING_RETRIES", "1"))
     # 6 s burst probes: a quiet box bursts to ~1.0 regardless of
     # its sustained-turbo ceiling, so <0.9 here means EXTERNAL steal
     # (the live in-record control uses 10 s windows to measure the
@@ -326,9 +328,9 @@ def _wait_for_clean_window(exec_cores: int) -> dict:
     attempts = 1
     while probe["hw_ceiling"] < min_ceiling and attempts <= retries:
         print(f"# noisy window: hw_ceiling {probe['hw_ceiling']} < "
-              f"{min_ceiling}; sleeping 60s "
+              f"{min_ceiling}; sleeping 45s "
               f"(retry {attempts}/{retries})", file=sys.stderr)
-        time.sleep(60)
+        time.sleep(45)
         probe = _hw_control(exec_cores, seconds=6.0)
         attempts += 1
     probe["min_ceiling"] = min_ceiling
