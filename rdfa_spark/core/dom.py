@@ -378,6 +378,17 @@ class _SoupBuilder(HTMLParser):
         # no clone, so <b><i>x</b></i> leaves no empty <i>)
         self._pending_fmt: list[tuple[str, dict]] = []
 
+    def parse_marked_section(self, i, report=1):
+        # _markupbase raises AssertionError on an unknown (or
+        # missing) marked-section keyword; the parse contract is
+        # "always succeeds", so degrade to the bogus-comment path —
+        # what the tokenizer does for every other unrecognized '<!'
+        # construct.  The fast lexer mirrors this exactly.
+        try:
+            return super().parse_marked_section(i, report)
+        except AssertionError:
+            return self.parse_bogus_comment(i, report)
+
     def updatepos(self, i, j):
         """No-op position tracking: html.parser counts newlines per
         chunk only to serve getpos(), which this builder never calls

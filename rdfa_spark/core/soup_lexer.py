@@ -25,8 +25,15 @@ _CDATA_ELEMS = ("script", "style")
 _RAW_CLOSE = {el: re.compile(rf"</\s*{el}", re.I)
               for el in _CDATA_ELEMS}
 _STARTTAG_OPEN = re.compile(r"<[a-zA-Z]")
-_MARKED_SECTION = re.compile(
-    r"<!\[(cdata|temp|ignore|include|rcdata)\[", re.I)
+# marked sections mirror _markupbase.parse_marked_section/_scan_name:
+# a declname, then keyword-dependent close —  ']]>' (ws-tolerant) for
+# the SGML keywords, ']>' for MS-Office conditional if/else/endif
+_MS_DECLNAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
+_MS_CLOSE_STD = re.compile(r"]\s*]\s*>")
+_MS_CLOSE_OFFICE = re.compile(r"]\s*>")
+_MS_STANDARD = frozenset({"temp", "cdata", "ignore", "include",
+                          "rcdata"})
+_MS_OFFICE = frozenset({"if", "else", "endif"})
 
 
 def feed_events(builder, markup: str) -> None:  # noqa: C901
@@ -214,15 +221,42 @@ def feed_events(builder, markup: str) -> None:  # noqa: C901
             continue
 
         if markup.startswith("<!", i):
-            ms = _MARKED_SECTION.match(markup, i)
-            if ms is not None:
-                close = find("]]>", ms.end())
-                if close < 0:
+            if markup.startswith("<![", i):
+                # mirrors parse_marked_section: scan the keyword,
+                # pick the close regex per keyword family
+                nm = _MS_DECLNAME.match(markup, i + 3)
+                if nm is not None and nm.end() == n:
+                    k = recover(i)       # _scan_name end-of-buffer
+                    emit_text(i, k)
+                    i = k
+                    continue
+                name = (nm.group().strip().lower()
+                        if nm is not None else None)
+                if name in _MS_STANDARD:
+                    close = _MS_CLOSE_STD.search(markup, i + 3)
+                elif name in _MS_OFFICE:
+                    close = _MS_CLOSE_OFFICE.search(markup, i + 3)
+                else:
+                    # stdlib RAISES AssertionError here (unknown /
+                    # missing keyword); the parse contract is
+                    # "always succeeds", so both tokenizers degrade
+                    # to the bogus-comment path (parse_html_stdlib
+                    # wraps the raise identically)
+                    pos = find(">", i + 2)
+                    if pos < 0:
+                        k = recover(i)
+                        emit_text(i, k)
+                        i = k
+                        continue
+                    builder.handle_comment(markup[i + 2:pos])
+                    i = pos + 1
+                    continue
+                if close is None:
                     k = recover(i)
                     emit_text(i, k)
                     i = k
                     continue
-                i = close + 3            # unknown_decl: no event
+                i = close.end()          # unknown_decl: no event
                 continue
             if markup[i + 2:i + 9].lower() == "doctype":
                 gt = find(">", i + 2)

@@ -40,7 +40,7 @@ def resolve(token: str | None, base: str,
     if token == "":
         # empty reference -> base minus fragment (RFC 3986 §5.1)
         return base.split("#", 1)[0] if "#" in base else base
-    if token[0] == "#" and base.startswith("http"):
+    if token[0] == "#" and base.startswith(("http://", "https://")):
         # fragment-only ref against a hierarchical base: replace the
         # base's fragment (identical to urljoin for http(s) bases,
         # pinned by the property suite) without the parse round-trip;

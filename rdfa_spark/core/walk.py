@@ -319,9 +319,14 @@ class Walker:
         # purpose: bnode tokens (each `_:` call allocates), failed
         # expansions (each logs a processor-graph warning — caching
         # would collapse warning counts), and extra-kwarg calls.
-        # The cache value pins the mapping objects so a recycled
-        # id() can never alias a dead key.
-        cacheable = (not extra and not token.startswith("_")
+        # Safe-CURIE bnodes ('[_:x]') are excluded too: in rel/rev/
+        # property/datatype they log a bnode-wrongplace ERROR yet
+        # return non-None, so caching them would collapse the
+        # per-occurrence error count.  The cache value pins the
+        # mapping objects so a recycled id() can never alias a dead
+        # key.
+        cacheable = (not extra
+                     and not token.startswith(("_", "[_"))
                      and not self.token_rewrites)
         if cacheable:
             key = (token, attribute, id(prefixes), id(terms),

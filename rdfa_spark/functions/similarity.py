@@ -49,10 +49,20 @@ def embedding_dim(path: str, vec_col: str = "embedding") -> int:
     if os.path.isdir(path):
         part = sorted(
             f for f in os.listdir(path) if f.endswith(".parquet"))
+        if not part:
+            raise ValueError(
+                f"embedding_dim: no .parquet files under {path!r}")
         path = os.path.join(path, part[0])
-    batch = next(pq.ParquetFile(path).iter_batches(
-        batch_size=1, columns=[vec_col]))
-    return len(batch.column(0)[0])
+    # scan forward for the first non-null vector (a NULL or empty
+    # first row would otherwise yield TypeError / a wrong dim)
+    for batch in pq.ParquetFile(path).iter_batches(
+            batch_size=64, columns=[vec_col]):
+        for v in batch.column(0):
+            if v.is_valid and len(v) > 0:
+                return len(v)
+    raise ValueError(
+        f"embedding_dim: column {vec_col!r} in {path!r} has no "
+        f"non-null, non-empty vectors to sample")
 
 
 def cosine_topk(items: DataFrame, queries: DataFrame, k: int = 10,

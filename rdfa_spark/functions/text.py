@@ -1,9 +1,10 @@
 """Text-analysis operators for training-data pipelines.
 
-Language-ID (stopword heuristic), quality scoring, token counting,
-document fingerprinting — all pure Spark built-ins (JVM-side,
-whole-stage codegen) with integer-scaled arithmetic so the DuckDB
-oracle reproduces results exactly.
+Language-ID (char-trigram Cavnar-Trenkle model, numpy-vectorized
+kernel over mapInPandas), quality scoring, token counting, document
+fingerprinting — the relational operators are pure Spark built-ins
+(JVM-side, whole-stage codegen) with integer-scaled arithmetic so
+the DuckDB oracle reproduces results exactly.
 """
 
 from __future__ import annotations

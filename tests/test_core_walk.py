@@ -498,3 +498,22 @@ def test_leaf_link_fast_path_inlist_completion():
     assert firsts == ["http://example.com/y", "http://example.com/z"]
     assert any(s == base + "#s" and p == "http://example.org/part"
                for s, p, o in trips)
+
+
+def test_safe_curie_bnode_errors_per_occurrence():
+    """A safe-CURIE bnode ('[_:x]') in @property logs a
+    bnode-wrongplace ERROR for EVERY occurrence: the CURIE memo must
+    not cache it (its expansion returns non-None despite logging),
+    or repeats would silently collapse the processor-graph count."""
+    from rdfa_spark.core import make_config, parse_rdfa
+
+    base = "http://example.com/doc"
+    w = parse_rdfa(
+        '<html><body>'
+        '<p about="#a" property="[_:x]">one</p>'
+        '<p about="#b" property="[_:x]">two</p>'
+        '<p about="#c" property="[_:x]">three</p>'
+        '</body></html>'.encode(),
+        base, make_config("html5", "1.1"))
+    wrong = [e for e in w.errors if e.code == "bnode-wrongplace"]
+    assert len(wrong) == 3, [e.code for e in w.errors]

@@ -644,3 +644,33 @@ def test_gif_frame_count_block_walk():
                           with_gce=False)) == 2
     with _pytest.raises(ValueError):
         gif_frames(gif(2)[:-5])      # truncated mid-frame
+
+
+def test_embedding_dim_edge_cases(tmp_path):
+    """Descriptive errors on empty dirs; null/empty leading vectors
+    are skipped rather than mis-sampled."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from rdfa_spark.functions.similarity import embedding_dim
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no .parquet files"):
+        embedding_dim(str(empty))
+
+    # NULL then empty then a real vector: dim must come from the
+    # first non-null, non-empty value
+    tbl = pa.table({"embedding": pa.array(
+        [None, [], [1.0, 2.0, 3.0]], type=pa.list_(pa.float32()))})
+    p = tmp_path / "vecs.parquet"
+    pq.write_table(tbl, p)
+    assert embedding_dim(str(p)) == 3
+
+    allnull = pa.table({"embedding": pa.array(
+        [None, None], type=pa.list_(pa.float32()))})
+    p2 = tmp_path / "allnull.parquet"
+    pq.write_table(allnull, p2)
+    with pytest.raises(ValueError, match="no\\b.*non-null"):
+        embedding_dim(str(p2))

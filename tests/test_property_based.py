@@ -151,6 +151,11 @@ class TestUriResolution:
                "https://example.com/",
                "http://example.com/a/b/?q=1",
                "ftp://example.com/dir/doc",
+               # non-http(s) schemes where urljoin does NOT splice
+               # fragments (guards the fragment fast-path gate):
+               "httpz://x/p",
+               "file:///tmp/dir/doc#f",
+               "urn:isbn:0451450523",
            ]))
     def test_resolve_matches_urljoin(self, ref, base):
         from urllib.parse import urljoin

@@ -55,6 +55,16 @@ EDGE_CASES = [
     '<a href="x"<b>y</b>', '</scr', '<script></scrx',
     # junk start tag is emitted RAW (no charref conversion):
     '<<<a=&quot;b&quot;<a\x00b>&amp;x', '<a=&quot;>t', '<xy&amp;z>t',
+    # marked sections (_markupbase parity): ws-tolerant ']]>' close,
+    # MS-Office if/else/endif close at ']>', unknown keyword ->
+    # bogus-comment degrade (stdlib raises; wrapper catches)
+    '<![CDATA[a] ] >b', '<![CDATA[a]\t]\n>b', '<![cdata[x]]>y',
+    '<![if gte IE 8]>cond<![endif]>after', '<![else]>t',
+    '<![endif ]>t', '<![if !IE]><p>x</p><![endif]>y',
+    '<![INCLUDE[a]]>t', '<![ignore[a]b]>c', '<![rcdata[v] ]>w',
+    '<![temp[q]]>r', '<![unknown[z]]>w', '<![3x]>t', '<![[x]]>t',
+    '<![>t', '<![', '<![cdata', '<![cdata ', '<![if', '<![if x',
+    '<![CDATA[unterminated', '<![endif]no-gt', '<![ CDATA[x]]>t',
 ]
 
 FUZZ_FRAGS = [
@@ -68,6 +78,8 @@ FUZZ_FRAGS = [
     "/>", "< ", "<1>", "&#65;", "&#xGG;", "<style>a{&}</style>",
     "<![CDATA[", "-->", "a=&quot;b&quot;", "<a\x00b>", "<=>",
     "<a 'v\">", "<!x", "<t:ns attr:x='1'>", "</t:ns>",
+    "<![if lt IE 9]>", "<![endif]>", "]>", "] ] >", "<![ignore[",
+    "<![bogus[", "<![else]>",
 ]
 
 
