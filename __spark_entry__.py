@@ -163,6 +163,30 @@ def q_cc_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+def q_cc_hot_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 with EXPLICIT skew salting (salt_hot_nodes +
+    connected_components_salted, cc.py): four hot hubs 'h0'..'h3',
+    one per doc_id%4 class, spoke-connected to every doc in the
+    class — hub degree N/4 far exceeds max_degree=64, so each hub is
+    split into 8 salted replicas (rewired by the other endpoint's
+    hash, chained back) before the star rounds; replicas are
+    stripped from the labeling.  Intra-class chain edges mix cold
+    edges into the same run.  Components are exactly the residue
+    classes (oracle: groupBy-min over doc_id%4)."""
+    from rdfa_spark.pipeline.cc import connected_components_salted
+    docs = _documents(spark, sf_dir).select("doc_id")
+    spokes = docs.select(
+        F.concat(F.lit("h"),
+                 (F.col("doc_id") % 4).cast("string")).alias("src"),
+        F.col("doc_id").cast("string").alias("dst"))
+    chains = (docs.filter(F.col("doc_id") % 40 >= 4)
+              .select(F.col("doc_id").cast("string").alias("src"),
+                      (F.col("doc_id") - 4).cast("string")
+                      .alias("dst")))
+    return connected_components_salted(spokes.union(chains),
+                                       max_degree=64, n_salts=8)
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_token_count(_documents(spark, sf_dir), "text")
     return d.select("doc_id",
@@ -526,6 +550,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "og_collect": q_og_collect,
         "entity_canonical": q_entity_canonical,
         "cc_chain": q_cc_chain,
+        "cc_hot_hub": q_cc_hot_hub,
         "token_stats": q_token_stats,
         "doc_fingerprint": q_fingerprint,
         "language_id": q_language_id,
@@ -564,6 +589,7 @@ def oracle_sql() -> dict[str, str]:
         "og_collect": oracle.OG_COLLECT_SQL,
         "entity_canonical": oracle.ENTITY_CANONICAL_SQL,
         "cc_chain": oracle.CC_CHAIN_SQL,
+        "cc_hot_hub": oracle.CC_HOT_HUB_SQL,
         "token_stats": oracle.TOKEN_STATS_SQL,
         "doc_fingerprint": oracle.FINGERPRINT_SQL,
         "language_id": oracle.langid_sql(),

@@ -436,7 +436,8 @@ def main() -> None:
         queries = entry_mod.queries()
         for name in ["rdfa_triples", "extract_all", "rdfa_og_title",
                      "rdfa_pred_counts", "entity_canonical",
-                     "cc_chain", "dedup_exact", "minhash_band_pairs",
+                     "cc_chain", "cc_hot_hub", "dedup_exact",
+                     "minhash_band_pairs",
                      "language_id", "quality_score", "ann_topk",
                      "event_sessions", "revenue_by_nation",
                      "embedding_near_dup", "simhash_signature",

@@ -127,6 +127,24 @@ SELECT CAST(doc_id AS VARCHAR) AS node,
 FROM documents
 """
 
+# Hot-hub graph for the SALTED CC path: four hubs 'h0'..'h3', one per
+# doc_id%4 class, each spoke-connected to every doc in its class
+# (degree N/4 >> the query's max_degree, so every hub is salted),
+# plus intra-class chains.  Components are exactly the residue
+# classes; the representative is the string-min node, which is always
+# a numeric doc_id (ASCII digits sort below 'h').  min(VARCHAR) in
+# DuckDB is the same binary/lexicographic order Spark uses.
+CC_HOT_HUB_SQL = """
+WITH nodes AS (SELECT doc_id, doc_id % 4 AS grp FROM documents),
+mins AS (SELECT grp, min(CAST(doc_id AS VARCHAR)) AS component
+         FROM nodes GROUP BY grp)
+SELECT CAST(n.doc_id AS VARCHAR) AS node, m.component AS component
+FROM nodes n JOIN mins m ON n.grp = m.grp
+UNION ALL
+SELECT 'h' || CAST(m.grp AS VARCHAR) AS node, m.component
+FROM mins m
+"""
+
 # Single-pass multi-output extraction: triples (kind 't') + processor
 # errors ('e') + text/lineage ('x') from ONE parse —
 # rdfa_spark.extract.extract_all projected to SQL-expressible columns.
