@@ -20,6 +20,7 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -128,57 +129,108 @@ def _config_for(html: bytes, config: Config | None) -> Config:
 _TRIPLE_ARROW_NAMES = ["url", "subj", "pred", "obj", "obj_is_literal",
                        "obj_datatype", "obj_lang", "graph", "emit_seq"]
 
+# Per-chunk cap on html bytes materialized as Python objects: an
+# incoming Arrow batch of max-size pages would otherwise be held
+# TWICE (Arrow buffer + to_pylist copies) alongside the full batch's
+# accumulated output lists.  Chunking bounds the Python-side peak to
+# ~cap regardless of page sizes; the Arrow buffer itself is sliced
+# zero-copy.
+_ARROW_CHUNK_BYTES = int(os.environ.get(
+    "RDFA_SPARK_ARROW_CHUNK_BYTES", str(32 << 20)))
+_ARROW_CHUNK_ROWS = 2048
+
+
+def _chunk_bounds(lengths, max_bytes: int, max_rows: int):
+    """Greedy (start, stop) row ranges whose summed byte lengths stay
+    under max_bytes (always >= 1 row per chunk, so a single page
+    larger than the cap still processes)."""
+    bounds = []
+    start, acc = 0, 0
+    for i, ln in enumerate(lengths):
+        ln = ln or 0
+        if i > start and (acc + ln > max_bytes
+                          or i - start >= max_rows):
+            bounds.append((start, i))
+            start, acc = i, 0
+        acc += ln
+    if start < len(lengths):
+        bounds.append((start, len(lengths)))
+    return bounds
+
 
 def _walk_arrow_batches(batches, config: Config | None, fail_acc=None):
     """Arrow-native extraction: iterate RecordBatches, emit
     RecordBatches — no pandas materialization on either side of the
     JVM<->Python channel (mapInArrow).
 
+    Each incoming batch is processed in zero-copy row slices capped
+    at _ARROW_CHUNK_BYTES of html, so Python-object copies of the
+    pages and the in-flight output lists are bounded by the cap, not
+    by the batch size.
+
     Parse failures emit no triple rows but are counted in
     ``fail_acc`` (a Spark accumulator) — the no-silent-drops rule
     holds on the fast path too.  Callers that need the failing urls
     (not just a count) use ``extract_all`` + ``split_extracts``."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     for rb in batches:
-        # bulk-convert the batch once (C loop) instead of per-row
-        # scalar .as_py() calls
-        urls = rb.column(rb.schema.get_field_index("url")).to_pylist()
-        htmls = rb.column(rb.schema.get_field_index("html")).to_pylist()
-        c_url, c_subj, c_pred, c_obj = [], [], [], []
-        c_lit, c_dt, c_lang, c_graph, c_seq = [], [], [], [], []
-        for i in range(rb.num_rows):
-            html = htmls[i]
-            if html is None:
-                continue
-            url = urls[i]
-            try:
-                w = parse_rdfa(html, url, _config_for(html, config))
-            except Exception:
-                if fail_acc is not None:
-                    fail_acc.add(1)
-                continue
-            for seq, t in enumerate(w.triples):
-                c_url.append(url)
-                c_subj.append(t.subj)
-                c_pred.append(t.pred)
-                c_obj.append(t.obj)
-                c_lit.append(t.is_literal)
-                c_dt.append(t.datatype)
-                c_lang.append(t.lang)
-                c_graph.append(t.graph)
-                c_seq.append(seq)
-        yield pa.RecordBatch.from_arrays(
-            [pa.array(c_url, pa.string()),
-             pa.array(c_subj, pa.string()),
-             pa.array(c_pred, pa.string()),
-             pa.array(c_obj, pa.string()),
-             pa.array(c_lit, pa.bool_()),
-             pa.array(c_dt, pa.string()),
-             pa.array(c_lang, pa.string()),
-             pa.array(c_graph, pa.string()),
-             pa.array(c_seq, pa.int64())],
-            names=_TRIPLE_ARROW_NAMES)
+        url_idx = rb.schema.get_field_index("url")
+        html_idx = rb.schema.get_field_index("html")
+        if rb.num_rows == 0:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([], pa.string())] * 4
+                + [pa.array([], pa.bool_())]
+                + [pa.array([], pa.string())] * 3
+                + [pa.array([], pa.int64())],
+                names=_TRIPLE_ARROW_NAMES)
+            continue
+        # per-row byte lengths straight from the Arrow offsets (no
+        # data copy) drive the chunking
+        lens = pc.binary_length(rb.column(html_idx)).to_pylist()
+        for lo, hi in _chunk_bounds(lens, _ARROW_CHUNK_BYTES,
+                                    _ARROW_CHUNK_ROWS):
+            sub = rb.slice(lo, hi - lo)          # zero-copy
+            # bulk-convert the slice once (C loop) instead of
+            # per-row scalar .as_py() calls
+            urls = sub.column(url_idx).to_pylist()
+            htmls = sub.column(html_idx).to_pylist()
+            c_url, c_subj, c_pred, c_obj = [], [], [], []
+            c_lit, c_dt, c_lang, c_graph, c_seq = [], [], [], [], []
+            for i in range(sub.num_rows):
+                html = htmls[i]
+                if html is None:
+                    continue
+                url = urls[i]
+                try:
+                    w = parse_rdfa(html, url,
+                                   _config_for(html, config))
+                except Exception:
+                    if fail_acc is not None:
+                        fail_acc.add(1)
+                    continue
+                for seq, t in enumerate(w.triples):
+                    c_url.append(url)
+                    c_subj.append(t.subj)
+                    c_pred.append(t.pred)
+                    c_obj.append(t.obj)
+                    c_lit.append(t.is_literal)
+                    c_dt.append(t.datatype)
+                    c_lang.append(t.lang)
+                    c_graph.append(t.graph)
+                    c_seq.append(seq)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c_url, pa.string()),
+                 pa.array(c_subj, pa.string()),
+                 pa.array(c_pred, pa.string()),
+                 pa.array(c_obj, pa.string()),
+                 pa.array(c_lit, pa.bool_()),
+                 pa.array(c_dt, pa.string()),
+                 pa.array(c_lang, pa.string()),
+                 pa.array(c_graph, pa.string()),
+                 pa.array(c_seq, pa.int64())],
+                names=_TRIPLE_ARROW_NAMES)
 
 
 def _walk_batches(batches: Iterator[pd.DataFrame], config: Config | None,

@@ -185,3 +185,65 @@ def test_extract_triples_parse_failure_counted(spark):
     out = extract_triples(df, _BrokenConfig())
     assert out.count() == 0               # nothing parseable
     assert out.parse_failures.value == 2  # ...and nothing silent
+
+
+def test_arrow_batches_chunked_by_bytes(monkeypatch):
+    """A batch of max-size pages must not be materialized (or its
+    output accumulated) all at once: _walk_arrow_batches slices the
+    incoming RecordBatch by a byte cap, yielding one output batch
+    per slice, with triples identical to the unchunked run."""
+    import pyarrow as pa
+
+    import rdfa_spark.extract as ex
+
+    page = ('<html xmlns="http://www.w3.org/1999/xhtml"><head>'
+            '<title>t</title></head><body>'
+            '<p about="#s" property="dc:title">Doc %d</p>'
+            + "<!-- " + "x" * (5 << 20) + " -->"    # ~5MB page
+            + "</body></html>")
+    rows = [(f"http://x.com/{i}", (page % i).encode())
+            for i in range(6)] + [("http://x.com/null", None)]
+    rb = pa.RecordBatch.from_arrays(
+        [pa.array([u for u, _ in rows], pa.string()),
+         pa.array([h for _, h in rows], pa.binary())],
+        names=["url", "html"])
+
+    def run():
+        outs = list(ex._walk_arrow_batches(iter([rb]), None))
+        trips = sorted(
+            (u, s, p, o)
+            for b in outs
+            for u, s, p, o in zip(b.column(0).to_pylist(),
+                                  b.column(1).to_pylist(),
+                                  b.column(2).to_pylist(),
+                                  b.column(3).to_pylist()))
+        return outs, trips
+
+    # cap at ~8MB: 6x5MB pages -> ceil-ish chunks of 1-2 pages each
+    monkeypatch.setattr(ex, "_ARROW_CHUNK_BYTES", 8 << 20)
+    outs_c, trips_c = run()
+    assert len(outs_c) >= 3, len(outs_c)
+
+    monkeypatch.setattr(ex, "_ARROW_CHUNK_BYTES", 1 << 30)
+    outs_u, trips_u = run()
+    assert len(outs_u) == 1
+    assert trips_c == trips_u and len(trips_c) == 6
+
+    # a single page larger than the cap still processes (1-row chunk)
+    monkeypatch.setattr(ex, "_ARROW_CHUNK_BYTES", 1024)
+    outs_t, trips_t = run()
+    assert trips_t == trips_u
+    # one chunk per oversize page + one for the trailing null row
+    assert len(outs_t) == 7
+
+
+def test_chunk_bounds_unit():
+    from rdfa_spark.extract import _chunk_bounds
+    assert _chunk_bounds([], 10, 4) == []
+    assert _chunk_bounds([3, 3, 3], 10, 4) == [(0, 3)]
+    assert _chunk_bounds([6, 6, 6], 10, 4) == [(0, 1), (1, 2), (2, 3)]
+    assert _chunk_bounds([5, 5, 5, 5], 10, 4) == [(0, 2), (2, 4)]
+    assert _chunk_bounds([100], 10, 4) == [(0, 1)]   # oversize row
+    assert _chunk_bounds([None, 4, None, 4], 7, 4) == [(0, 3), (3, 4)]
+    assert _chunk_bounds([None, 4, None, 4], 8, 4) == [(0, 4)]
+    assert _chunk_bounds([1] * 9, 100, 4) == [(0, 4), (4, 8), (8, 9)]
