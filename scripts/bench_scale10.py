@@ -134,7 +134,7 @@ def skew_rehearsal():
 
 
 def main():
-    from rdfa_spark.extract import extract_triples
+    from rdfa_spark.extract import extract_all, extract_triples
     from rdfa_spark.functions.similarity import (embedding_dim,
                                                  embedding_near_dup_pairs)
     from rdfa_spark.pages import load_pages
@@ -179,6 +179,13 @@ def main():
             return round(best, 2), n
 
         r = {}
+        # the corpus-sized stage at 100 TB: extraction itself must be
+        # ~linear in pages (it's a zero-shuffle scan -> mapInArrow,
+        # so a super-linear draw here would expose batch/memory
+        # issues the plan audit can't see)
+        r["extract_triples"] = t(
+            lambda: extract_triples(pages).count())
+        r["extract_all"] = t(lambda: extract_all(pages).count())
         r["entity_canonical"], rows = t(lambda: canonicalize(
             entity_mentions(extract_triples(pages))).count()), None
         edges = (docs.filter(F.col("doc_id") % 10 != 0)
