@@ -37,18 +37,34 @@ _MS_OFFICE = frozenset({"if", "else", "endif"})
 
 
 def feed_events(builder, markup: str) -> None:  # noqa: C901
-    """Drive a _SoupBuilder-compatible handler through ``markup``."""
+    """Drive a _SoupBuilder-compatible handler through ``markup``.
+
+    Adversarial-input guard: html.parser's tag scanning is QUADRATIC
+    on constructible shapes like ``'<a ' * N`` (the attr scan runs to
+    end-of-feed, then recovery advances only to the next '<' and the
+    next construct rescans the tail — both tokenizers measured ~27 s
+    on 50 KB, scripts/bench_soup_worstcase.py).  The lexer therefore
+    tracks scan work; once it exceeds ~8x the page length (normal
+    markup scans each byte ~0.7-1.5x, fuzz worst 2.4x; only
+    adversarial input can exceed the budget) the REMAINDER is
+    emitted as plain text — linear, deterministic, flagged via
+    ``builder.lexer_degraded``.  This is
+    the one documented divergence from the stdlib tokenizer; the A/B
+    suite pins that no edge-case/fuzz/conformance input triggers it."""
     n = len(markup)
     i = 0
     find = markup.find
     handle_data = builder.handle_data
     cdata_elem: str | None = None
+    work = 0
+    work_budget = 65536 + 8 * n
 
     def recover(j: int) -> int:
         """Mirrors goahead's end-of-feed handling for a construct
         that returned "incomplete" (-1): consume through the next
         '>' (or up to the next '<', or one char) as text, then keep
         lexing — html.parser does NOT stop at a broken construct."""
+        nonlocal work
         k = find(">", j + 1)
         if k < 0:
             k = find("<", j + 1)
@@ -56,6 +72,7 @@ def feed_events(builder, markup: str) -> None:  # noqa: C901
                 k = j + 1
         else:
             k += 1
+        work += k - j
         return k
 
     def emit_text(j: int, k: int) -> None:
@@ -107,10 +124,17 @@ def feed_events(builder, markup: str) -> None:  # noqa: C901
         emit_text(i, lt)
         i = lt
 
+        if work > work_budget:
+            # linear-tail degrade (see docstring): pathological input
+            builder.lexer_degraded = True
+            emit_text(i, n)
+            break
+
         if _STARTTAG_OPEN.match(markup, i):
             # --- parse_starttag + check_for_whole_start_tag -------
             m = locatestarttagend_tolerant.match(markup, i)
             j = m.end()
+            work += j - i
             nxt = markup[j:j + 1]
             if nxt == ">":
                 endpos = j + 1

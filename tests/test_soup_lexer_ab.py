@@ -106,3 +106,46 @@ def test_fuzz_parity():
         s = "".join(random.choice(FUZZ_FRAGS)
                     for _ in range(random.randrange(0, 18)))
         _ab(s)
+
+
+def _degraded(markup):
+    from rdfa_spark.core.dom import _SoupBuilder
+    from rdfa_spark.core.soup_lexer import feed_events
+    b = _SoupBuilder()
+    feed_events(b, markup)
+    return getattr(b, "lexer_degraded", False)
+
+
+def test_degenerate_input_degrades_linearly():
+    """The work-budget guard: html.parser semantics are quadratic on
+    '<a ' * N (attr scan to end-of-feed + 3-char recovery advance),
+    so the fast lexer emits the tail as text once scan work exceeds
+    ~8x the input length.  This must trigger on the pathological
+    shape and NEVER on normal/edge/fuzz input (where output must
+    stay stdlib-equal)."""
+    import time
+
+    from rdfa_spark.core.dom import parse_html
+
+    adversarial = "<a " * 68000        # ~200KB
+    t0 = time.time()
+    doc = parse_html(adversarial)
+    assert time.time() - t0 < 10       # quadratic would be minutes
+    assert _degraded(adversarial)
+    # the degraded tail is still text content under the root
+    assert doc.root is not None
+
+    assert not _degraded("<p>hello</p>" * 5000)
+    # small instances of the same shape stay under the 64KB WORK
+    # floor (work ~ len^2/6, so ~450 chars -> ~34KB of work)
+    assert not _degraded("<a " * 150)
+    for c in EDGE_CASES:
+        assert not _degraded(c), repr(c)
+
+
+def test_fuzz_never_degrades():
+    random.seed(1234)
+    for _ in range(1500):
+        s = "".join(random.choice(FUZZ_FRAGS)
+                    for _ in range(random.randrange(0, 18)))
+        assert not _degraded(s), repr(s)[:100]
