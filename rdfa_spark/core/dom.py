@@ -365,6 +365,49 @@ _TABLE_CTX = frozenset({"table", "tbody", "thead", "tfoot", "tr"})
 # Start tags legal inside the table context (everything else fosters).
 _TABLE_OK = frozenset("""caption col colgroup table tbody td template
 tfoot th thead tr script style form""".split())
+# Table-structure tags that re-enter "in table" processing: when one
+# arrives while a fostered element is still the current node, the
+# parser returns to the innermost open table first.
+_TABLE_STRUCTURE = frozenset("""caption col colgroup tbody tfoot
+thead tr td th""".split())
+# Elements that legitimately host table structure or normal content.
+_TABLE_HOSTS = frozenset("""table tbody thead tfoot tr td th caption
+template""".split())
+
+
+# Active-formatting-elements marker owners (WHATWG 13.2.4.3): these
+# insert a marker on open and clear the list up to it on close.
+_AFE_MARKER_TAGS = frozenset(
+    "applet caption marquee object template td th".split())
+# Default-scope barriers for the "has element in scope" check
+# (13.2.4.2; foreign-content barriers omitted — no foreign modes).
+_SCOPE_BARRIERS = frozenset(
+    "applet caption html table td th marquee object template".split())
+# Start tags that do NOT reconstruct the active formatting elements
+# in the "in body" insertion mode (13.2.6.4.7): the block/section
+# family, raw-text/metadata elements, and table structure.  Every
+# other start tag (formatting, phrasing, unknown) reconstructs, as
+# do character tokens — that pair is what reopens mis-nested
+# formatting exactly where content actually lands.
+_NO_RECONSTRUCT = frozenset("""address article aside blockquote
+center details dialog dir div dl fieldset figcaption figure footer
+form frame frameset h1 h2 h3 h4 h5 h6 head header hgroup hr html
+iframe li dd dt listing main menu nav noembed noframes noscript ol p
+plaintext
+pre script section style summary table textarea title ul base
+basefont bgsound link meta param source track caption col colgroup
+tbody td tfoot th thead tr body""".split())
+
+_MARKER = object()      # the AFE marker sentinel
+
+# Bound on active-formatting entries per marker segment: the spec's
+# Noah's-Ark clause only dedups IDENTICAL (tag, attrs) entries, so
+# crafted pages with distinct attrs ('<p><b class=N>x</p>' * M) grow
+# the list — and every reconstruct re-clones it — quadratically.
+# Browsers share this exposure; a crawl worker shouldn't.  Dropping
+# the OLDEST entry past 32 only changes pages that mis-nest >32
+# distinct formatting elements across a block boundary.
+_AFE_SEGMENT_CAP = 32
 
 
 class _SoupBuilder(HTMLParser):
@@ -372,11 +415,9 @@ class _SoupBuilder(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.root: Element | None = None
         self.stack: list[Element] = []
-        # formatting clones owed by the adoption agency, materialized
-        # lazily when content actually arrives (the spec's
-        # "reconstruct the active formatting elements": no content ->
-        # no clone, so <b><i>x</b></i> leaves no empty <i>)
-        self._pending_fmt: list[tuple[str, dict]] = []
+        # list of active formatting elements (WHATWG 13.2.4.3):
+        # Element refs interleaved with _MARKER sentinels
+        self.afe: list = []
 
     def parse_marked_section(self, i, report=1):
         # _markupbase raises AssertionError on an unknown (or
@@ -400,10 +441,78 @@ class _SoupBuilder(HTMLParser):
             self.root = Element("html", {})
             self.stack = [self.root]
 
-    def _flush_pending(self):
-        for tag, attrs in self._pending_fmt:
-            self._insert(tag, attrs)
-        self._pending_fmt = []
+    # -- active formatting elements (WHATWG 13.2.4.3) ----------------
+    def _afe_push(self, el):
+        """Push with the Noah's-Ark clause: at most 3 entries with
+        identical (tag, attrs) per marker segment — remove the
+        EARLIEST match when a fourth arrives."""
+        matches = []
+        seg = 0
+        for j in range(len(self.afe) - 1, -1, -1):
+            e = self.afe[j]
+            if e is _MARKER:
+                break
+            seg += 1
+            if e.tag == el.tag and e.attrs == el.attrs:
+                matches.append(j)
+        if len(matches) >= 3:
+            del self.afe[matches[-1]]
+        elif seg >= _AFE_SEGMENT_CAP:     # adversarial-growth guard
+            del self.afe[len(self.afe) - seg]    # oldest in segment
+        self.afe.append(el)
+
+    def _on_stack(self, el) -> bool:
+        return any(s is el for s in self.stack)
+
+    def _clear_afe_to_marker(self):
+        for j in range(len(self.afe) - 1, -1, -1):
+            if self.afe[j] is _MARKER:
+                del self.afe[j:]
+                return
+        # unbalanced implied close with no marker: leave the list
+
+    def _pop_stack(self, i):
+        """Pop stack[i:], clearing one AFE marker segment per popped
+        marker-owning element (td/th/caption/applet/marquee/object/
+        template close via implied end tags too)."""
+        popped = self.stack[i:]
+        del self.stack[i:]
+        for el in popped:
+            if el.tag in _AFE_MARKER_TAGS:
+                self._clear_afe_to_marker()
+
+    def _reconstruct_afe(self):
+        """Reconstruct the active formatting elements (13.2.4.3):
+        re-open (clone) every entry after the last marker/on-stack
+        entry, in order, at the current insertion point.  Runs before
+        character insertion and before non-_NO_RECONSTRUCT start
+        tags — which is exactly what makes mis-nested formatting
+        wrap the content that actually arrives (no content, no
+        clone)."""
+        i = self._afe_reconstruct_start()
+        if i is None:
+            return
+        for j in range(i, len(self.afe)):
+            e = self.afe[j]
+            self.afe[j] = self._insert(e.tag, dict(e.attrs))
+
+    def _afe_reconstruct_start(self):
+        """Index of the first AFE entry needing reconstruction, or
+        None when the list is empty/clean (13.2.4.3 steps 1-6)."""
+        afe = self.afe
+        if not afe:
+            return None
+        last = afe[-1]
+        if last is _MARKER or self._on_stack(last):
+            return None
+        i = len(afe) - 1
+        while i > 0:
+            i -= 1
+            e = afe[i]
+            if e is _MARKER or self._on_stack(e):
+                i += 1
+                break
+        return i
 
     # -- foster parenting (WHATWG 13.2.6.1) -------------------------
     def _foster_slot(self):
@@ -450,19 +559,18 @@ class _SoupBuilder(HTMLParser):
                     self.root.attrs.setdefault(_k, _v)
             return
         self._ensure_root()
-        self._flush_pending()
         # a <table> start while a table is open closes it first
         # (WHATWG "in table": implied </table>)
         if tag == "table" and self.stack[-1].tag in _TABLE_CTX:
             for i in range(len(self.stack) - 1, 0, -1):
                 if self.stack[i].tag == "table":
-                    del self.stack[i:]
+                    self._pop_stack(i)
                     break
         # implied end tags
         if tag in _CLOSE_P:
             for i in range(len(self.stack) - 1, 0, -1):
                 if self.stack[i].tag == "p":
-                    del self.stack[i:]
+                    self._pop_stack(i)
                     break
                 if self.stack[i].tag not in ("a", "span", "b", "i", "em",
                                              "strong", "small", "u", "s"):
@@ -475,13 +583,48 @@ class _SoupBuilder(HTMLParser):
                 if t in scope:
                     break
                 if t in closes:
-                    del self.stack[i:]
+                    self._pop_stack(i)
                     break
+        # table structure resuming while a fostered element is still
+        # current: return to the innermost open table ("in table"
+        # reprocessing); popped formatting stays in the AFE and
+        # reconstructs at the foster point when content arrives
+        if (tag in _TABLE_STRUCTURE
+                and self.stack[-1].tag not in _TABLE_HOSTS):
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t == "table":
+                    self._pop_stack(i + 1)
+                    break
+                if t in ("td", "th", "caption"):
+                    break       # inside a cell: implied-end rules own it
         self._imply_table_sections(tag)
+        # the spec's <a> rule (13.2.6.4.7): a new <a> with an <a>
+        # still in the list after the last marker runs the adoption
+        # agency on it first, then drops the stale entry
+        if tag == "a":
+            for j in range(len(self.afe) - 1, -1, -1):
+                e = self.afe[j]
+                if e is _MARKER:
+                    break
+                if e.tag == "a":
+                    self._adoption("a")
+                    if any(x is e for x in self.afe):
+                        self.afe.remove(e)
+                    for k in range(len(self.stack) - 1, 0, -1):
+                        if self.stack[k] is e:
+                            del self.stack[k]
+                            break
+                    break
+        elif tag == "nobr":
+            if self._in_scope("nobr"):
+                self._adoption("nobr")
         # foster-parent a non-table element opened in table context
         slot = None
         if tag not in _TABLE_OK:
             slot = self._foster_slot()
+        if slot is None and tag not in _NO_RECONSTRUCT:
+            self._reconstruct_afe()
         if slot is not None:
             par, idx = slot
             el = Element(tag, _attr_dict(attrs), par)
@@ -489,20 +632,25 @@ class _SoupBuilder(HTMLParser):
             if tag not in _VOID:
                 # fostered element still becomes the current node
                 self.stack.append(el)
-            return
-        parent = self.stack[-1]
-        el = Element(tag, _attr_dict(attrs), parent)
-        parent.children.append(el)
-        if tag not in _VOID:
-            self.stack.append(el)
+        else:
+            parent = self.stack[-1]
+            el = Element(tag, _attr_dict(attrs), parent)
+            parent.children.append(el)
+            if tag not in _VOID:
+                self.stack.append(el)
+        if tag in _FORMATTING:
+            self._afe_push(el)
+        elif tag in _AFE_MARKER_TAGS:
+            self.afe.append(_MARKER)
 
     def handle_startendtag(self, tag, attrs):
         if tag == "html":
             self.handle_starttag(tag, attrs)
             return
         self._ensure_root()
-        self._flush_pending()
         slot = self._foster_slot() if tag not in _TABLE_OK else None
+        if slot is None and tag not in _NO_RECONSTRUCT:
+            self._reconstruct_afe()
         if slot is not None:
             par, idx = slot
             par.children.insert(idx, Element(tag, _attr_dict(attrs),
@@ -512,78 +660,170 @@ class _SoupBuilder(HTMLParser):
         el = Element(tag, _attr_dict(attrs), parent)
         parent.children.append(el)
 
-    # -- adoption agency (WHATWG 13.2.6.4.7, common cases) ----------
-    def _adoption(self, tag) -> bool:
-        """Mis-nested formatting end tag.  Two shapes are handled:
+    # -- adoption agency (WHATWG 13.2.6.4.7, full algorithm) --------
+    def _in_scope(self, tag) -> bool:
+        """"Has an element in scope" with the default-scope barriers
+        (13.2.4.2)."""
+        for i in range(len(self.stack) - 1, -1, -1):
+            t = self.stack[i].tag
+            if t == tag:
+                return True
+            if t in _SCOPE_BARRIERS:
+                return False
+        return False
 
-        * only formatting elements above the match — pop through it,
-          then reopen clones of those formatting elements (the eager
-          equivalent of "reconstruct the active formatting elements";
-          an unused trailing clone stays empty, which is
-          triple-invisible);
-        * a special (block) element immediately above the match (the
-          ``<b><p>x</b>y`` shape) — the block moves out to become the
-          match's next sibling, a clone of the match wraps the
-          block's children, and the block stays open.
+    def _detach(self, node):
+        p = node.parent
+        if p is not None:
+            for i, c in enumerate(p.children):
+                if c is node:
+                    del p.children[i]
+                    break
 
-        Returns False to fall back to the plain pop (ordinary
-        elements like span above the match, or deeper mixed shapes).
-        """
-        fi = None
-        for i in range(len(self.stack) - 1, 0, -1):
-            if self.stack[i].tag == tag:
-                fi = i
-                break
-        if fi is None or fi == len(self.stack) - 1:
-            return False                # absent or already current
-        above = self.stack[fi + 1:]
-        fmt_above = [e for e in above if e.tag in _FORMATTING]
-        if len(fmt_above) == len(above):
-            del self.stack[fi:]
-            self._pending_fmt = [(g.tag, dict(g.attrs))
-                                 for g in fmt_above]
-            return True
-        blk = above[0]
-        if blk.tag not in _SPECIAL:
-            return False
-        F = self.stack[fi]
-        rest_fmt = [e for e in above[1:] if e.tag in _FORMATTING]
-        if len(rest_fmt) != len(above) - 1:
-            return False                # two blocks deep: fall back
-        # move the block out: next sibling of the formatting element
-        if blk in F.children:
-            F.children.remove(blk)
-        par = F.parent if F.parent is not None else self.root
-        try:
-            at = par.children.index(F) + 1
-        except ValueError:
-            at = len(par.children)
-        par.children.insert(at, blk)
-        blk.parent = par
-        # clone of the formatting element adopts the block's children
-        clone = Element(F.tag, dict(F.attrs), blk)
-        clone.children = blk.children
-        for c in clone.children:
-            if isinstance(c, Element):
-                c.parent = clone
-        blk.children = [clone]
-        del self.stack[fi:]
-        self.stack.append(blk)          # the block stays open
-        self._pending_fmt = [(g.tag, dict(g.attrs))
-                             for g in rest_fmt]
-        return True
+    def _append_foster_aware(self, parent, node):
+        """Append `node` as the last child of `parent`, unless
+        `parent` is a fosterable table context — then insert it
+        immediately before the innermost open table instead (the
+        spec's "appropriate place for inserting a node" with an
+        override target)."""
+        self._detach(node)
+        if parent.tag in _TABLE_CTX:
+            for i in range(len(self.stack) - 1, 0, -1):
+                if self.stack[i].tag == "table":
+                    tbl = self.stack[i]
+                    par = tbl.parent if tbl.parent is not None \
+                        else self.stack[i - 1]
+                    for k, c in enumerate(par.children):
+                        if c is tbl:
+                            par.children.insert(k, node)
+                            node.parent = par
+                            return
+                    break
+        parent.children.append(node)
+        node.parent = parent
+
+    def _adoption(self, subject) -> None:
+        """The adoption agency algorithm, with the spec's outer x8 /
+        inner x3 iteration caps, the bookmark, and AFE rewriting.
+        Falls through to the "any other end tag" pop loop when no
+        matching formatting entry exists."""
+        # step 1-2: trivial case — current node matches and is not
+        # in the AFE list
+        cur = self.stack[-1] if len(self.stack) > 1 else None
+        if (cur is not None and cur.tag == subject
+                and not any(e is cur for e in self.afe)):
+            self._pop_stack(len(self.stack) - 1)
+            return
+        for _outer in range(8):
+            # the last AFE entry for `subject` after the last marker
+            F = None
+            for j in range(len(self.afe) - 1, -1, -1):
+                e = self.afe[j]
+                if e is _MARKER:
+                    break
+                if e.tag == subject:
+                    F = e
+                    break
+            if F is None:
+                # any other end tag (approximation: pop to a literal
+                # match; stray end tags with no match are ignored)
+                for i in range(len(self.stack) - 1, 0, -1):
+                    if self.stack[i].tag == subject:
+                        self._pop_stack(i)
+                        return
+                return
+            if not self._on_stack(F):
+                self.afe.remove(F)          # parse error: drop entry
+                return
+            fi = next(i for i, s in enumerate(self.stack) if s is F)
+            if not self._in_scope(subject):
+                return                      # parse error: ignore
+            # furthest block: first special element below F
+            fb = None
+            fb_i = -1
+            for i in range(fi + 1, len(self.stack)):
+                if self.stack[i].tag in _SPECIAL:
+                    fb = self.stack[i]
+                    fb_i = i
+                    break
+            if fb is None:
+                self._pop_stack(fi)
+                self.afe.remove(F)
+                return
+            common = self.stack[fi - 1]
+            bookmark = next(j for j, e in enumerate(self.afe)
+                            if e is F)
+            node_i = fb_i
+            node = fb
+            last_node = fb
+            inner = 0
+            while True:
+                inner += 1
+                node_i -= 1
+                node = self.stack[node_i]
+                if node is F:
+                    break
+                in_afe = any(e is node for e in self.afe)
+                if inner > 3 and in_afe:
+                    idx = next(j for j, e in enumerate(self.afe)
+                               if e is node)
+                    del self.afe[idx]
+                    if idx < bookmark:
+                        bookmark -= 1
+                    in_afe = False
+                if not in_afe:
+                    del self.stack[node_i]
+                    continue
+                clone = Element(node.tag, dict(node.attrs))
+                self.afe[next(j for j, e in enumerate(self.afe)
+                              if e is node)] = clone
+                self.stack[node_i] = clone
+                node = clone
+                if last_node is fb:
+                    bookmark = next(j for j, e in enumerate(self.afe)
+                                    if e is node) + 1
+                self._detach(last_node)
+                node.children.append(last_node)
+                last_node.parent = node
+                last_node = node
+            self._append_foster_aware(common, last_node)
+            fclone = Element(F.tag, dict(F.attrs), fb)
+            fclone.children = fb.children
+            for c in fclone.children:
+                if isinstance(c, Element):
+                    c.parent = fclone
+            fb.children = [fclone]
+            self.afe.remove(F)
+            self.afe.insert(bookmark, fclone)
+            fi = next(i for i, s in enumerate(self.stack) if s is F)
+            del self.stack[fi]
+            fb_i = next(i for i, s in enumerate(self.stack)
+                        if s is fb)
+            self.stack.insert(fb_i + 1, fclone)
 
     def handle_endtag(self, tag):
         if tag in _VOID:
             return
-        # an end tag consumes any owed clones: <b><i>x</b></i> must
-        # not materialize an empty <i> (and scope closure drops them)
-        self._pending_fmt = []
-        if tag in _FORMATTING and self._adoption(tag):
+        if tag in _FORMATTING:
+            self._adoption(tag)
             return
+        if tag in _SPECIAL:
+            # block-family end tags have their own pop-through rules
+            # in the spec (ul/li/div/td...); pop to the match
+            for i in range(len(self.stack) - 1, 0, -1):
+                if self.stack[i].tag == tag:
+                    self._pop_stack(i)
+                    return
+            return
+        # "any other end tag" (13.2.6.4.7): walk down; a SPECIAL
+        # element before the match means the token is ignored —
+        # </span> does not punch through an open <div>
         for i in range(len(self.stack) - 1, 0, -1):
-            if self.stack[i].tag == tag:
-                del self.stack[i:]
+            t = self.stack[i].tag
+            if t == tag:
+                self._pop_stack(i)
+                return
+            if t in _SPECIAL:
                 return
 
     def handle_data(self, data):
@@ -592,17 +832,35 @@ class _SoupBuilder(HTMLParser):
                 self._ensure_root()
             else:
                 return
-        self._flush_pending()
         if data.strip():
             slot = self._foster_slot()
             if slot is not None:        # table text fosters
                 par, idx = slot
+                start = self._afe_reconstruct_start()
+                if start is not None:
+                    # foster-point reconstruction: mis-nested
+                    # formatting re-opens BEFORE the table and the
+                    # clones become current (they pop again when
+                    # table structure resumes), so each fostered
+                    # text run lands in its own formatting clone —
+                    # the '<table><b><tr>…text' shape of 13.2.6.1
+                    parent, at = par, idx
+                    for j in range(start, len(self.afe)):
+                        e = self.afe[j]
+                        c = Element(e.tag, dict(e.attrs), parent)
+                        parent.children.insert(at, c)
+                        self.afe[j] = c
+                        self.stack.append(c)
+                        parent, at = c, 0
+                    parent.children.append(data)
+                    return
                 prev = par.children[idx - 1] if idx > 0 else None
                 if isinstance(prev, str):
                     par.children[idx - 1] = prev + data
                 else:
                     par.children.insert(idx, data)
                 return
+        self._reconstruct_afe()
         kids = self.stack[-1].children
         if kids and isinstance(kids[-1], str):
             kids[-1] += data

@@ -2167,6 +2167,106 @@ soup("p-autoclose-inline", "<p> auto-close scans across inline "
 
 
 # ---------------------------------------------------------------------------
+# Batch 22 (round 5): spec-faithful adoption agency — the active-
+# formatting-elements list (markers, Noah's Ark, reconstruction) and
+# the full WHATWG 13.2.6.4.7 algorithm now drive where RDFa
+# attributes land on mis-nested markup.  Tree shapes are pinned in
+# tests/test_html5_tree.py; these pin the TRIPLE-visible effects.
+# ---------------------------------------------------------------------------
+
+soup("afe-reconstruct-after-block", "formatting left open across a "
+     "block close reconstructs where text next lands — the clone "
+     "carries the RDFa attributes into the NEW subject scope",
+     f'<html prefix="dc: {DC}"><body>'
+     f'<div about="#a"><b property="dc:subject">x</div>y'
+     f'</body></html>',
+     # clone of <b property> reopens at body level: subject is the
+     # BASE, not #a
+     [T(B + "#a", DC + "subject", "x", True),
+      T(B, DC + "subject", "y", True)],
+     absent=[T(B + "#a", DC + "subject", "y", True)])
+
+soup("afe-no-content-no-clone", "formatting left open across a "
+     "block close does NOT reconstruct when no content follows",
+     f'<html prefix="dc: {DC}"><body>'
+     f'<div about="#a"><b property="dc:subject">x</div>'
+     f'<div about="#b"></div></body></html>',
+     [T(B + "#a", DC + "subject", "x", True)],
+     absent=[T(B, DC + "subject", "", True),
+             T(B + "#b", DC + "subject", "", True)])
+
+soup("afe-marker-cell", "a formatting element opened inside a table "
+     "cell cannot leak past it (AFE marker cleared on cell close)",
+     f'<html prefix="dc: {DC}"><body>'
+     f'<table><tr><td><b property="dc:subject">x</td></tr></table>'
+     f'<span about="#o" property="dc:title">y</span></body></html>',
+     [T(B, DC + "subject", "x", True),
+      T(B + "#o", DC + "title", "y", True)],
+     # no reconstructed <b property> may wrap y
+     absent=[T(B, DC + "subject", "y", True),
+             T(B + "#o", DC + "subject", "y", True)])
+
+soup("afe-marker-object", "a formatting element opened inside "
+     "<object> cannot leak past it (marker element)",
+     f'<html prefix="dc: {DC}"><body>'
+     f'<object><b property="dc:subject">x</object>y</body></html>',
+     [T(B, DC + "subject", "x", True)],
+     absent=[T(B, DC + "subject", "y", True),
+             T(B, DC + "subject", "xy", True)])
+
+soup("aaa-multi-block-cascade", "an <a> spanning two nested blocks "
+     "clones per block (outer-loop iterations), keeping @about with "
+     "every clone",
+     f'<html prefix="dc: {DC}"><body>'
+     f'<a about="#s" href="/r">w<div>x<div>'
+     f'<span property="dc:title">y</span></a>z</div></div>'
+     f'</body></html>',
+     # the span sits inside the innermost <a about="#s"> clone
+     [T(B + "#s", DC + "title", "y", True)],
+     absent=[T(B, DC + "title", "y", True)])
+
+soup("aaa-a-rule", "a second <a> forces the adoption agency on the "
+     "first; the new link is NOT nested in the old one",
+     f'<html prefix="dc: {DC}"><body>'
+     f'<a about="#one" href="/1">first'
+     f'<a about="#two" href="/2"><span property="dc:title">t</span>'
+     f'</a></body></html>',
+     [T(B + "#two", DC + "title", "t", True)],
+     absent=[T(B + "#one", DC + "title", "t", True)])
+
+soup("foster-point-reconstruct", "fostered table text lands inside "
+     "a reconstructed formatting clone — the clone's RDFa property "
+     "captures it",
+     f'<html prefix="dc: {DC}"><body><div about="#a">'
+     f'<table><b property="dc:subject"><tr><td>cell</td></tr>'
+     f'loose</table></div></body></html>',
+     # 'loose' fosters out of the table INTO a clone of
+     # <b property="dc:subject">
+     [T(B + "#a", DC + "subject", "loose", True)],
+     absent=[T(B + "#a", DC + "subject", "loosecell", True)])
+
+soup("endtag-no-punch-through", "a stray phrasing end tag does not "
+     "punch through an open block (any-other-end-tag rule)",
+     f'<html prefix="dc: {DC}"><body>'
+     f'<span about="#a" property="dc:title"><div>x</span>y</div>'
+     f'</body></html>',
+     # </span> is ignored (div is special): y stays inside the
+     # span's literal
+     [T(B + "#a", DC + "title", "xy", True)],
+     absent=[T(B + "#a", DC + "title", "x", True)])
+
+soup("aaa-bookmark-intermediate", "intermediate formatting between "
+     "the subject and the furthest block is cloned into the chain "
+     "(inner loop), keeping its RDFa attributes",
+     f'<html prefix="dc: {DC}"><body>'
+     f'<b><i about="#m"><p><span property="dc:title">x</span>'
+     f'</b>y</p></body></html>',
+     # the <p> ends up wrapped by clones of i/b; the span's subject
+     # stays the <i about="#m"> chain
+     [T(B + "#m", DC + "title", "x", True)])
+
+
+# ---------------------------------------------------------------------------
 # Batch 21 (round 4): generic-XML host instantiations.  The EARL
 # evidence includes xml-rdfa11-tests.ttl (109 passing assertions) —
 # the same numbered behaviors run against application/xml input,
