@@ -2401,3 +2401,375 @@ CASES.append(Case(
      T("?l1", RDF + "rest", "?l2"),
      T("?l2", RDF + "first", "b", True),
      T("?l2", RDF + "rest", RDF + "nil")]))
+
+
+# ---------------------------------------------------------------------------
+# Batch 23 (round 5): per-number direct pins for the two largest
+# thematic ledger families — processor-graph/late-core 0247-0264 and
+# late-suite misc 0265-0301.  Each number's behavior is reconstructed
+# from the dc:title the reference's own EARL evidence records for it
+# (meta/earl/*.ttl) plus the public RDFa 1.1 Core / HTML+RDFa specs;
+# combos mirror the host x version rows the EARL files assert.
+# ---------------------------------------------------------------------------
+
+C_H5 = [("html5", "1.1"), ("xhtml5", "1.1")]
+
+w3c("0247", "multiple incomplete triples completed by successive "
+    "children",
+    '<div about="#a" rel="dc:relation"><p about="#b">b</p>'
+    '<p about="#c">c</p></div>',
+    [T(B + "#a", DC + "relation", B + "#b"),
+     T(B + "#a", DC + "relation", B + "#c")], combos=COMBOS_11)
+
+w3c("0248", "incomplete triples with @rev complete in reverse",
+    '<div about="#a" rev="dc:creator"><p about="#b">b</p>'
+    '<p about="#c">c</p></div>',
+    [T(B + "#b", DC + "creator", B + "#a"),
+     T(B + "#c", DC + "creator", B + "#a")], combos=COMBOS_11)
+
+w3c("0249", "incomplete triples with both @rel and @rev",
+    '<div about="#a" rel="dc:relation" rev="dc:creator">'
+    '<p about="#b">b</p></div>',
+    [T(B + "#a", DC + "relation", B + "#b"),
+     T(B + "#b", DC + "creator", B + "#a")], combos=COMBOS_11)
+
+w3c("0250", "@typeof with @about in presence of @property types "
+    "the @about subject",
+    f'<div about="#me" typeof="foaf:Person" property="foaf:name">'
+    f'Alice</div>',
+    [T(B + "#me", RDF + "type", FOAF + "Person"),
+     T(B + "#me", FOAF + "name", "Alice", True)], combos=COMBOS_11)
+
+w3c("0251", "lang attribute yields a language-tagged literal",
+    '<p about="#a" property="dc:title" lang="fr" xml:lang="fr">'
+    'Bonjour</p>',
+    [T(B + "#a", DC + "title", "Bonjour", True, lang="fr")],
+    combos=COMBOS_11)
+
+w3c("0252", "language inherits from an ancestor element",
+    '<div lang="fr" xml:lang="fr"><p about="#a" '
+    'property="dc:title">Bonjour</p></div>',
+    [T(B + "#a", DC + "title", "Bonjour", True, lang="fr")],
+    combos=COMBOS_11)
+
+w3c("0253", 'datatype="" produces a plain literal PRESERVING the '
+    "in-scope language",
+    '<p about="#a" property="dc:title" datatype="" lang="fr" '
+    'xml:lang="fr">Bonjour</p>',
+    [T(B + "#a", DC + "title", "Bonjour", True, lang="fr")],
+    combos=COMBOS_11)
+
+w3c("0254", 'datatype="" with element children produces the plain '
+    "text literal, not an XMLLiteral",
+    '<p about="#a" property="dc:title" datatype="">x<b>y</b></p>',
+    [T(B + "#a", DC + "title", "xy", True)],
+    absent=[T(B + "#a", DC + "title", "x<b>y</b>", True)],
+    combos=COMBOS_11)
+
+w3c("0255", 'lang="" clears the inherited language',
+    '<div lang="fr" xml:lang="fr"><p about="#a" '
+    'property="dc:title" lang="" xml:lang="">B</p></div>',
+    [T(B + "#a", DC + "title", "B", True, lang=None)],
+    combos=COMBOS_11)
+
+w3c("0256", "lang and xml:lang on the same element agree",
+    '<p about="#a" property="dc:title" lang="fr" xml:lang="fr">'
+    'B</p>',
+    [T(B + "#a", DC + "title", "B", True, lang="fr")],
+    combos=[("html5", "1.1"), ("xhtml", "1.1"), ("xhtml5", "1.1")])
+
+w3c("0257", "@property with no children yields an empty plain "
+    "literal",
+    '<p about="#a" property="dc:title"></p>',
+    [T(B + "#a", DC + "title", "", True)], combos=COMBOS_11)
+
+w3c("0258", "the underscore is not allowed as a declared prefix",
+    '<div about="#a" prefix="_: http://example.org/u#" '
+    'property="dc:title" content="ctl">'
+    '<p about="#a" property="_:pred" content="x">x</p></div>',
+    [T(B + "#a", DC + "title", "ctl", True)],
+    absent=[T(B + "#a", "http://example.org/u#pred", "x", True)],
+    combos=COMBOS_11)
+
+w3c("0259", "RDFa 1.1 initial context supplies undeclared common "
+    "prefixes (cc:)",
+    '<p about="#a" property="cc:attributionName" content="X">x</p>',
+    [T(B + "#a", "http://creativecommons.org/ns#attributionName",
+       "X", True)], combos=COMBOS_11)
+
+w3c("0260", "XHTML+RDFa initial context (same prefixes, xhtml host)",
+    '<p about="#a" property="cc:attributionURL" '
+    'content="http://example.org/">x</p>',
+    [T(B + "#a", "http://creativecommons.org/ns#attributionURL",
+       "http://example.org/", True)], combos=[("xhtml", "1.1")])
+
+w3c("0261", "white space inside an XMLLiteral value is preserved "
+    "exactly",
+    '<p about="#a" property="dc:title" '
+    'datatype="rdf:XMLLiteral">  two  spaces  </p>',
+    [T(B + "#a", DC + "title", "  two  spaces  ", True,
+       dt=RDF + "XMLLiteral")], combos=COMBOS_11)
+
+w3c("0262", "@property value with surrounding white space still "
+    "resolves",
+    '<p about="#a" property=" dc:title " content="T">x</p>',
+    [T(B + "#a", DC + "title", "T", True)])
+
+w3c("0263", "@property on the html element yields the base as "
+    "subject",
+    '<p>body text</p>',
+    [T(B, DC + "title", "Test 0263", True)],
+    combos=COMBOS_11,
+    extra='property="dc:title" content="Test 0263"')
+
+
+def _w3c_custom(num, desc, head_body_fn, expect, absent=(),
+                combos=COMBOS_11):
+    """Numbered case needing a custom <head>/<html> (doc() hardcodes
+    the head)."""
+    for host, ver in combos:
+        if ver == "1.0":
+            pfx = " ".join(f'xmlns:{p}="{u}"'
+                           for p, u in PREFIXES.items())
+        else:
+            pfx = ('prefix="'
+                   + " ".join(f"{p}: {u}"
+                              for p, u in PREFIXES.items()) + '"')
+        xh = ('xmlns="http://www.w3.org/1999/xhtml" '
+              if host in ("xhtml", "xhtml5") else "")
+        CASES.append(Case(f"w3c-{num}/{host}+{ver}", desc, host, ver,
+                          f'<html {xh}{pfx}>{head_body_fn()}</html>',
+                          expect, absent))
+
+
+_w3c_custom("0264", "@property on <head> takes its subject from the "
+            "html element (the base)",
+            lambda: ('<head property="dc:title" content="T0264">'
+                     '<title>t</title></head><body></body>'),
+            [T(B, DC + "title", "T0264", True)])
+
+_w3c_custom("0265", "@property on <head> takes its subject from the "
+            "html element (the base)",
+            lambda: ('<head property="dc:title" content="T0265">'
+                     '<title>t</title></head><body></body>'),
+            [T(B, DC + "title", "T0265", True)])
+
+_w3c_custom("0269", "@property inside <head> without an explicit "
+            "subject uses the base",
+            lambda: ('<head><title property="dc:title">Test 0269'
+                     '</title></head><body></body>'),
+            [T(B, DC + "title", "Test 0269", True)])
+
+_w3c_custom("0271", "@property in <head> under an explicit @about "
+            "parent subject",
+            lambda: ('<head about="http://example.org/doc">'
+                     '<title property="dc:title">X</title></head>'
+                     '<body></body>'),
+            [T("http://example.org/doc", DC + "title", "X", True)])
+
+w3c("0266", "@property with @href and @typeof produces a typed "
+    "object",
+    '<p about="#a"><a property="dc:creator" typeof="foaf:Person" '
+    'href="http://example.org/me">N</a></p>',
+    [T(B + "#a", DC + "creator", "http://example.org/me"),
+     T("http://example.org/me", RDF + "type", FOAF + "Person")],
+    combos=COMBOS_11)
+
+w3c("0267", "@property with @resource and @typeof produces a typed "
+    "object",
+    '<p about="#a"><span property="dc:creator" '
+    'typeof="foaf:Person" resource="http://example.org/me">N'
+    '</span></p>',
+    [T(B + "#a", DC + "creator", "http://example.org/me"),
+     T("http://example.org/me", RDF + "type", FOAF + "Person")],
+    combos=COMBOS_11)
+
+w3c("0268", "@property with @src and @typeof produces a typed "
+    "object",
+    '<p about="#a"><img property="dc:creator" '
+    'typeof="foaf:Person" src="http://example.org/me.jpg"/></p>',
+    [T(B + "#a", DC + "creator", "http://example.org/me.jpg"),
+     T("http://example.org/me.jpg", RDF + "type", FOAF + "Person")],
+    combos=COMBOS_11)
+
+# -- <time>/@datetime family (HTML5 hosts; EARL: html5 + xhtml5) ----
+
+w3c("0272", "time/@datetime sniffs xsd:date",
+    '<time property="dc:created" datetime="2012-03-18">18 March'
+    '</time>',
+    [T(B, DC + "created", "2012-03-18", True, dt=XSD + "date")],
+    combos=C_H5)
+
+w3c("0273", "time/@datetime sniffs xsd:time",
+    '<time property="dc:created" datetime="00:00:00">midnight'
+    '</time>',
+    [T(B, DC + "created", "00:00:00", True, dt=XSD + "time")],
+    combos=C_H5)
+
+w3c("0274", "time/@datetime sniffs xsd:dateTime",
+    '<time property="dc:created" datetime="2012-03-18T00:00:00">x'
+    '</time>',
+    [T(B, DC + "created", "2012-03-18T00:00:00", True,
+       dt=XSD + "dateTime")], combos=C_H5)
+
+w3c("0275", "time element VALUE sniffs xsd:date",
+    '<time property="dc:created">2012-03-18</time>',
+    [T(B, DC + "created", "2012-03-18", True, dt=XSD + "date")],
+    combos=C_H5)
+
+w3c("0276", "time element VALUE sniffs xsd:time",
+    '<time property="dc:created">00:00:00</time>',
+    [T(B, DC + "created", "00:00:00", True, dt=XSD + "time")],
+    combos=C_H5)
+
+w3c("0277", "time element VALUE sniffs xsd:dateTime",
+    '<time property="dc:created">2012-03-18T00:00:00</time>',
+    [T(B, DC + "created", "2012-03-18T00:00:00", True,
+       dt=XSD + "dateTime")], combos=C_H5)
+
+w3c("0278", "@datetime overrides @content",
+    '<time property="dc:created" content="notthis" '
+    'datetime="2012-03-18">x</time>',
+    [T(B, DC + "created", "2012-03-18", True, dt=XSD + "date")],
+    absent=[T(B, DC + "created", "notthis", True)], combos=C_H5)
+
+w3c("0279", "explicit @datatype with @datetime overrides the "
+    "sniffed default",
+    '<time property="dc:created" datetime="2012-03-18" '
+    'datatype="xsd:string">x</time>',
+    [T(B, DC + "created", "2012-03-18", True, dt=XSD + "string")],
+    absent=[T(B, DC + "created", "2012-03-18", True,
+              dt=XSD + "date")], combos=C_H5)
+
+w3c("0280", "time/@datetime sniffs xsd:duration",
+    '<time property="dc:created" datetime="P2Y6M5DT12H35M30S">x'
+    '</time>',
+    [T(B, DC + "created", "P2Y6M5DT12H35M30S", True,
+       dt=XSD + "duration")], combos=C_H5)
+
+w3c("0281", "time/@datetime sniffs xsd:gYear",
+    '<time property="dc:created" datetime="2012">x</time>',
+    [T(B, DC + "created", "2012", True, dt=XSD + "gYear")],
+    combos=C_H5)
+
+w3c("0282", "time/@datetime sniffs xsd:gYearMonth",
+    '<time property="dc:created" datetime="2012-03">x</time>',
+    [T(B, DC + "created", "2012-03", True,
+       dt=XSD + "gYearMonth")], combos=C_H5)
+
+w3c("0283", "invalid @datetime value falls back to a plain literal",
+    '<time property="dc:created" datetime="foo">x</time>',
+    [T(B, DC + "created", "foo", True, dt=None)], combos=C_H5)
+
+w3c("0284", "time value not matching the explicit @datatype still "
+    "gets that datatype",
+    '<time property="dc:created" datatype="xsd:dateTime">'
+    '2012-03-18</time>',
+    [T(B, DC + "created", "2012-03-18", True,
+       dt=XSD + "dateTime")], combos=C_H5)
+
+w3c("0285", "invalid @datetime with in-scope language yields a "
+    "language-tagged plain literal",
+    '<div lang="en" xml:lang="en"><time property="dc:created" '
+    'datetime="foo">x</time></div>',
+    [T(B, DC + "created", "foo", True, lang="en")], combos=C_H5)
+
+w3c("0286", "@value overrides @content on the data element",
+    '<data property="dc:title" value="V" content="C">x</data>',
+    [T(B, DC + "title", "V", True)],
+    absent=[T(B, DC + "title", "C", True)], combos=C_H5)
+
+w3c("0287", "time/@datetime with a timezone offset sniffs "
+    "xsd:dateTime",
+    '<time property="dc:created" '
+    'datetime="2012-03-18T00:00:00+08:00">x</time>',
+    [T(B, DC + "created", "2012-03-18T00:00:00+08:00", True,
+       dt=XSD + "dateTime")], combos=C_H5)
+
+# -- @href-as-subject family ---------------------------------------
+
+w3c("0289", "@href becomes the subject when @property and @content "
+    "are present",
+    '<a href="http://www.example.org/" property="dc:title" '
+    'content="T">x</a>',
+    [T("http://www.example.org/", DC + "title", "T", True)],
+    combos=COMBOS_11)
+
+w3c("0290", "@href becomes the subject when @property and "
+    "@datatype are present",
+    '<a href="http://www.example.org/" property="dc:title" '
+    'datatype="">T</a>',
+    [T("http://www.example.org/", DC + "title", "T", True)],
+    combos=COMBOS_11)
+
+w3c("0291", "@about overrides @href as the subject",
+    '<a about="#a" href="http://www.example.org/" '
+    'property="dc:title" content="T">x</a>',
+    [T(B + "#a", DC + "title", "T", True)],
+    absent=[T("http://www.example.org/", DC + "title", "T", True)])
+
+w3c("0292", "@about overriding @href is the parent resource for "
+    "children",
+    '<div about="http://www.example.org/" '
+    'href="http://wrong.example.org/">'
+    '<span property="dc:title">T</span></div>',
+    [T("http://www.example.org/", DC + "title", "T", True)],
+    absent=[T("http://wrong.example.org/", DC + "title", "T",
+              True)], combos=COMBOS_11)
+
+w3c("0293", "a ':' CURIE uses the default prefix (xhtml vocab)",
+    '<p about="#a" property=":next" content="N">x</p>',
+    [T(B + "#a", XHV + "next", "N", True)], combos=COMBOS_11)
+
+w3c("0294", "the RDFa 1.1 initial context is NOT available to "
+    "RDFa 1.0",
+    '<p about="#a" property="cc:attributionName" content="X">x</p>'
+    '<p about="#a" property="dc:title" content="ctl">x</p>',
+    [T(B + "#a", DC + "title", "ctl", True)],
+    absent=[T(B + "#a",
+              "http://creativecommons.org/ns#attributionName",
+              "X", True)],
+    combos=[("xhtml", "1.0")])
+
+w3c("0299", "@resource=[] falls back to @href for the @rel object",
+    '<a about="#a" rel="dc:relation" resource="[]" '
+    'href="http://example.org/t">x</a>',
+    [T(B + "#a", DC + "relation", "http://example.org/t")],
+    combos=COMBOS_11)
+
+w3c("0300", "@resource=[] falls back to @href for the @property "
+    "object",
+    '<a about="#a" property="dc:relation" resource="[]" '
+    'href="http://example.org/t">x</a>',
+    [T(B + "#a", DC + "relation", "http://example.org/t")],
+    combos=COMBOS_11)
+
+w3c("0301", "@property with @typeof creates a typed_resource used "
+    "for chaining",
+    '<div about="#a"><a property="dc:relation" '
+    'typeof="foaf:Person" href="http://example.org/me">'
+    '<span property="foaf:name">N</span></a></div>',
+    [T(B + "#a", DC + "relation", "http://example.org/me"),
+     T("http://example.org/me", RDF + "type", FOAF + "Person"),
+     T("http://example.org/me", FOAF + "name", "N", True)],
+    combos=COMBOS_11)
+
+
+# xml-host instantiations of the batch-23 numbers whose EARL
+# evidence includes xml+1.1 rows (same generic-xml port rule as
+# batch 21: RDFa Core processing on the shared XML walker, no
+# xhtml-host tweaks involved; head/html-subject cases excluded).
+_XML_PORT_23 = """0247 0248 0249 0250 0258 0259 0261 0262 0263
+0266 0267 0268 0289 0290 0291 0292 0293""".split()
+
+_BY_ID23 = {c.id: c for c in CASES}
+for _num in _XML_PORT_23:
+    _src = (_BY_ID23.get(f"w3c-{_num}/xhtml+1.1")
+            or _BY_ID23.get(f"w3c-{_num}/xhtml5+1.1")
+            or _BY_ID23.get(f"w3c-{_num}/html5+1.1"))
+    if _src is None or _num not in W3C_BODIES:
+        continue
+    _desc, _body, _extra, _opts = W3C_BODIES[_num]
+    CASES.append(Case(f"w3c-{_num}/xml+1.1", _desc + " (generic xml)",
+                      "xml", "1.1", _xml_doc(_body, _extra),
+                      _src.expect, _src.absent, opts=_opts))
