@@ -418,6 +418,10 @@ def main() -> None:
     scaling["window_gate"] = scale_gate
 
     # ---- operator queries at sf dir --------------------------------
+    # bracket the (otherwise ungated) query phase with hw probes so
+    # the record shows THIS phase's box speed: per-query e2e drift
+    # without a matching probe drop is code, with one it's the host
+    q_hw_before = _hw_probe(max(CPUS // 8, 1), 4)
     spark = get_spark("bench_queries", cpus=CPUS,
                       shuffle_partitions=2 * CPUS)
     try:
@@ -447,6 +451,7 @@ def main() -> None:
             timings[name] = round(time.time() - t0, 3)
     finally:
         spark.stop()
+    q_hw_after = _hw_probe(max(CPUS // 8, 1), 4)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -454,6 +459,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_hw": {"pages_per_sec_4groups_before": q_hw_before,
+                       "pages_per_sec_4groups_after": q_hw_after},
         "sf": sf,
         "throughput": {
             "cpus": CPUS,
