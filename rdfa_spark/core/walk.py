@@ -336,8 +336,10 @@ class Walker:
                 return hit[2]
         r = expand_curie(
             token, attribute, prefixes, terms,
-            bnode=lambda ident: self.bnode(
-                None, False, None if ident == "_:" else ident),
+            # '_:' memoizes like any other ident (Parser.pm:2764 +
+            # saved_bnodes: every occurrence is the SAME node; W3C
+            # 0088) — do not special-case it to a fresh allocation
+            bnode=lambda ident: self.bnode(None, False, ident),
             resolve_uri=lambda t: self.uri(t, xml_base=xml_base),
             log_error=self.log_error,
             prefix_bare=self.config.prefix_bare,

@@ -2773,3 +2773,555 @@ for _num in _XML_PORT_23:
     CASES.append(Case(f"w3c-{_num}/xml+1.1", _desc + " (generic xml)",
                       "xml", "1.1", _xml_doc(_body, _extra),
                       _src.expect, _src.absent, opts=_opts))
+
+
+# ---------------------------------------------------------------------------
+# Batch 24 (round 5): per-number pins for the remaining big thematic
+# families — @resource/@src/@rev basics (0031-0093), 1.0-vs-1.1 @src
+# semantics, typeof/bnode subjects, reserved XHTML terms, @inlist
+# collections (0220-0227), vocab/prefix resolution (0177-0190), and
+# late 1.1 core additions.  Titles from the reference's own EARL
+# evidence; combos mirror the rows it asserts.
+# ---------------------------------------------------------------------------
+
+EX_O = "http://example.org/o"
+EX_S = "http://example.org/S.jpg"
+
+w3c("0031", "simple @resource sets the object",
+    f'<div about="#a" rel="dc:relation" resource="{EX_O}">x</div>',
+    [T(B + "#a", DC + "relation", EX_O)])
+
+w3c("0032", "@resource overrides @href as the object",
+    f'<a about="#a" rel="dc:relation" resource="{EX_O}" '
+    f'href="http://wrong.example.org/">x</a>',
+    [T(B + "#a", DC + "relation", EX_O)],
+    absent=[T(B + "#a", DC + "relation",
+              "http://wrong.example.org/")])
+
+# @src changed sides between versions: subject in 1.0, object
+# (resource-position) in 1.1 — same-number pins per version.
+w3c("0034", "img/@src is the SUBJECT in RDFa 1.0",
+    f'<img src="{EX_S}" rel="dc:relation" href="{EX_O}"/>',
+    [T(EX_S, DC + "relation", EX_O)], combos=COMBOS_10)
+
+w3c("0034", "img/@src is the OBJECT (resource position) in 1.1",
+    f'<img about="#a" rel="dc:relation" src="{EX_S}"/>',
+    [T(B + "#a", DC + "relation", EX_S)], combos=COMBOS_11)
+
+w3c("0036", "@src vs @resource: 1.0 src=subject",
+    f'<img src="{EX_S}" rel="dc:relation" resource="{EX_O}"/>',
+    [T(EX_S, DC + "relation", EX_O)], combos=COMBOS_10)
+
+w3c("0036", "@src vs @resource: 1.1 resource=object, src ignored "
+    "for the subject",
+    f'<img src="{EX_S}" rel="dc:relation" resource="{EX_O}"/>',
+    [T(B, DC + "relation", EX_O)],
+    absent=[T(EX_S, DC + "relation", EX_O)], combos=COMBOS_11)
+
+w3c("0038", "@rev with img/@src: 1.0 (href creator src-subject)",
+    f'<img src="{EX_S}" rev="dc:creator" href="{EX_O}"/>',
+    [T(EX_O, DC + "creator", EX_S)], combos=COMBOS_10)
+
+w3c("0038", "@rev with img/@src: 1.1 (src not a subject)",
+    f'<img src="{EX_S}" rev="dc:creator" href="{EX_O}"/>',
+    [T(EX_O, DC + "creator", B)],
+    absent=[T(EX_O, DC + "creator", EX_S)], combos=COMBOS_11)
+
+w3c("0039", "@rev with @src/@href (1.0)",
+    f'<span src="{EX_S}" rev="dc:creator" href="{EX_O}">x</span>',
+    [T(EX_O, DC + "creator", EX_S)], combos=COMBOS_10)
+
+w3c("0040", "@rev with @src/@resource (1.0)",
+    f'<img src="{EX_S}" rev="dc:creator" resource="{EX_O}"/>',
+    [T(EX_O, DC + "creator", EX_S)],
+    combos=[("html4", "1.0"), ("xhtml", "1.0")])
+
+w3c("0042", "img/@src completes a hanging @rel (1.0 subject)",
+    f'<div rel="dc:relation"><img src="{EX_S}"/></div>',
+    [T(B, DC + "relation", EX_S)],
+    combos=[("html4", "1.0"), ("xhtml", "1.0")])
+
+w3c("0046", "1.0: @typeof with @rel and nothing else makes a bnode "
+    "subject; the hanging @rel completes from it",
+    '<div rel="dc:relation" typeof="foaf:Person">'
+    '<p about="#b">x</p></div>',
+    [T("?x", RDF + "type", FOAF + "Person"),
+     T("?x", DC + "relation", B + "#b")],
+    combos=[("xhtml", "1.0")])
+
+w3c("0047", "1.0: @typeof with @rel and @resource, no @about",
+    f'<div rel="dc:relation" typeof="foaf:Person" '
+    f'resource="{EX_O}">x</div>',
+    [T("?x", RDF + "type", FOAF + "Person"),
+     T("?x", DC + "relation", EX_O)],
+    combos=[("xhtml", "1.0")])
+
+w3c("0051", "1.0: @typeof with a single @property — literal on the "
+    "typed bnode",
+    '<div typeof="foaf:Person" property="foaf:name">Alice</div>',
+    [T("?x", RDF + "type", FOAF + "Person"),
+     T("?x", FOAF + "name", "Alice", True)], combos=COMBOS_10)
+
+w3c("0051", "1.1: @typeof with @property makes the typed bnode the "
+    "OBJECT of the property",
+    '<div typeof="foaf:Person" property="foaf:name">Alice</div>',
+    [T("?x", RDF + "type", FOAF + "Person"),
+     T(B, FOAF + "name", "?x")], combos=COMBOS_11)
+
+w3c("0052", "@typeof with @resource and nothing else types the "
+    "resource",
+    f'<div typeof="foaf:Person" resource="{EX_O}">x</div>',
+    [T(EX_O, RDF + "type", FOAF + "Person")])
+
+w3c("0053", "@typeof with @resource: children inherit the resource "
+    "as subject",
+    f'<div typeof="foaf:Person" resource="{EX_O}">'
+    f'<p property="foaf:name">N</p></div>',
+    [T(EX_O, RDF + "type", FOAF + "Person"),
+     T(EX_O, FOAF + "name", "N", True)])
+
+w3c("0054", "multiple tokens in @property",
+    '<p about="#a" property="dc:title dc:description" '
+    'content="T">x</p>',
+    [T(B + "#a", DC + "title", "T", True),
+     T(B + "#a", DC + "description", "T", True)])
+
+w3c("0055", "multiple tokens in @rel",
+    f'<a about="#a" rel="dc:relation dc:source" href="{EX_O}">x</a>',
+    [T(B + "#a", DC + "relation", EX_O),
+     T(B + "#a", DC + "source", EX_O)])
+
+w3c("0058", "1.0: hanging @rel + child @typeof permutation makes "
+    "one bnode per child",
+    '<div about="#a" rel="dc:relation">'
+    '<p typeof="foaf:Person">x</p><p typeof="foaf:Person">y</p>'
+    '</div>',
+    [T(B + "#a", DC + "relation", "?x"),
+     T("?x", RDF + "type", FOAF + "Person")],
+    combos=COMBOS_10)
+
+w3c("0078", "1.0: multiple incomplete triples",
+    '<div about="#a" rel="dc:relation"><p about="#b">b</p>'
+    '<p about="#c">c</p></div>',
+    [T(B + "#a", DC + "relation", B + "#b"),
+     T(B + "#a", DC + "relation", B + "#c")], combos=COMBOS_10)
+
+w3c("0081", "1.0: incomplete triples with @rev",
+    '<div about="#a" rev="dc:creator"><p about="#b">b</p>'
+    '<p about="#c">c</p></div>',
+    [T(B + "#b", DC + "creator", B + "#a"),
+     T(B + "#c", DC + "creator", B + "#a")], combos=COMBOS_10)
+
+w3c("0082", "1.0: incomplete triples with @rel and @rev",
+    '<div about="#a" rel="dc:relation" rev="dc:creator">'
+    '<p about="#b">b</p></div>',
+    [T(B + "#a", DC + "relation", B + "#b"),
+     T(B + "#b", DC + "creator", B + "#a")], combos=COMBOS_10)
+
+w3c("0084", "incomplete triples with both @rel and @rev over "
+    "multiple children",
+    '<div about="#a" rel="dc:relation" rev="dc:creator">'
+    '<p about="#b">b</p><p about="#c">c</p></div>',
+    [T(B + "#a", DC + "relation", B + "#b"),
+     T(B + "#b", DC + "creator", B + "#a"),
+     T(B + "#a", DC + "relation", B + "#c"),
+     T(B + "#c", DC + "creator", B + "#a")])
+
+w3c("0088", 'the CURIE "_:" is one shared blank node',
+    '<div about="#a" rel="dc:relation" resource="[_:]">x</div>'
+    '<div about="#b" rel="dc:relation" resource="[_:]">y</div>',
+    [T(B + "#a", DC + "relation", "?x"),
+     T(B + "#b", DC + "relation", "?x")])
+
+w3c("0089", "@src alone sets the subject for @typeof",
+    f'<img src="{EX_S}" typeof="foaf:Image"/>',
+    [T(EX_S, RDF + "type", FOAF + "Image")])
+
+w3c("0090", "1.0: @src sets the subject with @rel/@href",
+    f'<img src="{EX_S}" rel="dc:relation" href="{EX_O}"/>',
+    [T(EX_S, DC + "relation", EX_O)],
+    combos=[("html4", "1.0"), ("xhtml", "1.0")])
+
+w3c("0091", "non-reserved un-prefixed token in @property is dropped",
+    '<p about="#a" property="frobnicate" content="NO">x</p>'
+    '<p about="#a" property="dc:title" content="ctl">y</p>',
+    [T(B + "#a", DC + "title", "ctl", True)],
+    absent=[T(None, None, "NO", True)])
+
+w3c("0093", "XMLLiteral content with explicit @datatype",
+    f'<p about="#a" property="dc:title" datatype="rdf:XMLLiteral" '
+    f'xmlns:rdf="{RDF}">chunk <b>bold</b> text</p>',
+    [T(B + "#a", DC + "title", None, True, RDF + "XMLLiteral")])
+
+
+# -- xhtml head/base/reserved-term cases ---------------------------
+
+_XHTML_COMBOS = [("xhtml", "1.0"), ("xhtml", "1.1")]
+
+_w3c_custom("0061", "reserved non-prefixed @rel in <head>",
+            lambda: ('<head><link rel="next" '
+                     'href="http://example.org/n"/>'
+                     '<title>t</title></head><body></body>'),
+            [T(B, XHV + "next", "http://example.org/n")],
+            combos=_XHTML_COMBOS)
+
+_w3c_custom("0062", "reserved non-prefixed @rev in <head>",
+            lambda: ('<head><link rev="next" '
+                     'href="http://example.org/n"/>'
+                     '<title>t</title></head><body></body>'),
+            [T("http://example.org/n", XHV + "next", B)],
+            combos=_XHTML_COMBOS)
+
+_BASE_DIR = "http://www.example.org/dir/"
+
+_w3c_custom("0072", "relative URI in @about resolves against "
+            "<base>",
+            lambda: (f'<head><base href="{_BASE_DIR}"/>'
+                     f'<title>t</title></head><body>'
+                     f'<p about="photo.jpg" property="dc:title" '
+                     f'content="T">x</p></body>'),
+            [T(_BASE_DIR + "photo.jpg", DC + "title", "T", True)],
+            combos=COMBOS_ALL)
+
+_w3c_custom("0073", "relative URI in @resource resolves against "
+            "<base>",
+            lambda: (f'<head><base href="{_BASE_DIR}"/>'
+                     f'<title>t</title></head><body>'
+                     f'<div about="#a" rel="dc:relation" '
+                     f'resource="photo.jpg">x</div></body>'),
+            [T(_BASE_DIR + "#a", DC + "relation",
+               _BASE_DIR + "photo.jpg")],
+            combos=COMBOS_ALL)
+
+_w3c_custom("0074", "relative URI in @href resolves against <base>",
+            lambda: (f'<head><base href="{_BASE_DIR}"/>'
+                     f'<title>t</title></head><body>'
+                     f'<a about="#a" rel="dc:relation" '
+                     f'href="photo.jpg">x</a></body>'),
+            [T(_BASE_DIR + "#a", DC + "relation",
+               _BASE_DIR + "photo.jpg")],
+            combos=COMBOS_ALL)
+
+w3c("0075", "reserved word 'license' in @rel with no explicit "
+    "@about",
+    '<a rel="license" href="http://cc.example.org/lic">x</a>',
+    [T(B, XHV + "license", "http://cc.example.org/lic")])
+
+# the XHTML vocabulary terms shared by the 1.0 and 1.1 term lists
+# (the 1.0 list minus 'role', which 1.1 dropped; 1.1 adds
+# 'previous', absent from 1.0)
+_XHV_TERMS = """alternate appendix bookmark cite chapter contents
+copyright first glossary help icon index last license meta next
+p3pv1 prev section start stylesheet subsection top up""".split()
+
+w3c("0076", "all reserved XHTML @rel values",
+    f'<a about="#a" rel="{" ".join(_XHV_TERMS)}" '
+    f'href="http://example.org/n">x</a>',
+    [T(B + "#a", XHV + t, "http://example.org/n")
+     for t in _XHV_TERMS],
+    combos=_XHTML_COMBOS)
+
+w3c("0077", "all reserved XHTML @rev values",
+    f'<a about="#a" rev="{" ".join(_XHV_TERMS)}" '
+    f'href="http://example.org/n">x</a>',
+    [T("http://example.org/n", XHV + t, B + "#a")
+     for t in _XHV_TERMS],
+    combos=_XHTML_COMBOS)
+
+w3c("0087", "reserved XHTML @rel values in ':term' CURIE form",
+    f'<a about="#a" rel="{" ".join(":" + t for t in _XHV_TERMS)}" '
+    f'href="http://example.org/n">x</a>',
+    [T(B + "#a", XHV + t, "http://example.org/n")
+     for t in _XHV_TERMS])
+
+w3c("0113", "@property with no child nodes yields an empty plain "
+    "literal",
+    '<p about="#a" property="dc:title"></p>',
+    [T(B + "#a", DC + "title", "", True)],
+    combos=_XHTML_COMBOS)
+
+w3c("0114", "dot-segment removal in relative URI resolution",
+    '<p about="a/b/../../c" property="dc:title" content="T">x</p>',
+    [T("http://example.com/c", DC + "title", "T", True)])
+
+_w3c_custom("0117", "fragment identifiers are stripped from <base>",
+            lambda: ('<head><base '
+                     'href="http://www.example.org/doc#frag"/>'
+                     '<title>t</title></head><body>'
+                     '<p about="" property="dc:title" content="T">x'
+                     '</p></body>'),
+            [T("http://www.example.org/doc", DC + "title", "T",
+               True)],
+            combos=COMBOS_ALL)
+
+w3c("0119", '"[prefix:]" safe CURIE resolves to the namespace IRI',
+    '<div about="#a" rel="dc:relation" resource="[dc:]">x</div>',
+    [T(B + "#a", DC + "relation", DC)])
+
+w3c("0120", '"[:]" safe CURIE resolves to the default-prefix '
+    "namespace",
+    '<div about="#a" rel="dc:relation" resource="[:]">x</div>',
+    [T(B + "#a", DC + "relation", XHV)])
+
+w3c("0122", 'resource="[]" does not set the object (the @rel stays '
+    "hanging and unfulfilled)",
+    '<div about="#a" rel="dc:relation" resource="[]">x</div>'
+    '<p about="#a" property="dc:title" content="ctl">y</p>',
+    [T(B + "#a", DC + "title", "ctl", True)],
+    absent=[T(B + "#a", DC + "relation", None)])
+
+w3c("0173", 'xml:lang="" clears the inherited language (xhtml)',
+    '<div xml:lang="fr"><p about="#a" property="dc:title" '
+    'xml:lang="">B</p></div>',
+    [T(B + "#a", DC + "title", "B", True, lang=None)],
+    combos=_XHTML_COMBOS)
+
+# -- vocab/prefix resolution (1.1) ---------------------------------
+
+_MYNS = "http://example.org/my#"
+
+w3c("0177", "@prefix declares a mapping",
+    f'<div prefix="my: {_MYNS}" about="#a" property="my:p" '
+    f'content="X">x</div>',
+    [T(B + "#a", _MYNS + "p", "X", True)], combos=COMBOS_11)
+
+w3c("0179", "@prefix takes priority over @xmlns for the same "
+    "prefix",
+    f'<div xmlns:my="http://wrong.example.org/" '
+    f'prefix="my: {_MYNS}" about="#a" property="my:p" '
+    f'content="X">x</div>',
+    [T(B + "#a", _MYNS + "p", "X", True)],
+    absent=[T(B + "#a", "http://wrong.example.org/p", "X", True)],
+    combos=COMBOS_11)
+
+w3c("0181", "default XHTML vocabulary supplies @rel terms",
+    '<a about="#a" rel="next" href="http://example.org/n">x</a>',
+    [T(B + "#a", XHV + "next", "http://example.org/n")])
+
+_VOC = "http://example.org/v#"
+
+w3c("0188", "@vocab only affects predicate positions, not @about",
+    f'<div vocab="{_VOC}"><p about="name" property="name" '
+    f'content="N">x</p></div>',
+    [T("http://example.com/name", _VOC + "name", "N", True)],
+    combos=COMBOS_11)
+
+w3c("0189", "@vocab overrides the default term mapping",
+    f'<div vocab="{_VOC}"><a about="#a" rel="license" '
+    f'href="http://example.org/n">x</a></div>',
+    [T(B + "#a", _VOC + "license", "http://example.org/n")],
+    absent=[T(B + "#a", XHV + "license", "http://example.org/n")],
+    combos=COMBOS_11)
+
+w3c("0190", "terms match case-insensitively against the term list",
+    '<a about="#a" rel="LICENSE" href="http://example.org/n">x</a>',
+    [T(B + "#a", XHV + "license", "http://example.org/n")],
+    combos=COMBOS_11)
+
+# -- late RDFa 1.1 core additions ----------------------------------
+
+w3c("0196", "explicit XMLLiteral processing",
+    f'<p about="#a" property="dc:title" datatype="rdf:XMLLiteral" '
+    f'xmlns:rdf="{RDF}">pre <b>mid</b> post</p>',
+    [T(B + "#a", DC + "title", None, True, RDF + "XMLLiteral")],
+    combos=COMBOS_11)
+
+_CAL = "http://www.w3.org/2002/12/cal/icaltzd#"
+
+w3c("0207", "Vevent compound fixture using @typeof",
+    f'<div xmlns:cal="{_CAL}" about="#event" typeof="cal:Vevent">'
+    f'<span property="cal:summary">S</span>'
+    f'<span property="cal:dtstart" content="2008-07-01">July'
+    f'</span></div>',
+    [T(B + "#event", RDF + "type", _CAL + "Vevent"),
+     T(B + "#event", _CAL + "summary", "S", True),
+     T(B + "#event", _CAL + "dtstart", "2008-07-01", True)])
+
+w3c("0209", "@prefix is ignored under RDFa 1.0",
+    f'<div prefix="my: {_MYNS}" about="#a" property="my:p" '
+    f'content="X">x</div>'
+    f'<p about="#a" property="dc:title" content="ctl">y</p>',
+    [T(B + "#a", DC + "title", "ctl", True)],
+    absent=[T(B + "#a", _MYNS + "p", "X", True)],
+    combos=COMBOS_10)
+
+w3c("0210", "under RDFa 1.0, @xmlns prevails over @prefix",
+    f'<div xmlns:my="http://right.example.org/" '
+    f'prefix="my: {_MYNS}" about="#a" property="my:p" '
+    f'content="X">x</div>',
+    [T(B + "#a", "http://right.example.org/p", "X", True)],
+    absent=[T(B + "#a", _MYNS + "p", "X", True)],
+    combos=COMBOS_10)
+
+w3c("0211", "@vocab is ignored under RDFa 1.0",
+    f'<div vocab="{_VOC}" about="#a" property="title" '
+    f'content="X">x</div>'
+    f'<p about="#a" property="dc:title" content="ctl">y</p>',
+    [T(B + "#a", DC + "title", "ctl", True)],
+    absent=[T(B + "#a", _VOC + "title", "X", True)],
+    combos=COMBOS_10)
+
+w3c("0214", 'the root element has an implicit @about=""',
+    '<p property="dc:title" content="T0214">x</p>',
+    [T(B, DC + "title", "T0214", True)], combos=COMBOS_11)
+
+w3c("0217", "@vocab adds an rdfa:usesVocabulary triple",
+    f'<div vocab="{_VOC}" about="#a" property="name" '
+    f'content="N">x</div>',
+    [T(B, RDFA + "usesVocabulary", _VOC),
+     T(B + "#a", _VOC + "name", "N", True)], combos=COMBOS_11)
+
+# -- @inlist collections (1.1) -------------------------------------
+
+w3c("0220", "@inlist with IRI members from a hanging @rel",
+    '<div about="#a" rel="dc:relation" inlist="">'
+    '<a href="http://example.org/1">x</a>'
+    '<a href="http://example.org/2">y</a></div>',
+    [T(B + "#a", DC + "relation", "?l1"),
+     T("?l1", RDF + "first", "http://example.org/1"),
+     T("?l1", RDF + "rest", "?l2"),
+     T("?l2", RDF + "first", "http://example.org/2"),
+     T("?l2", RDF + "rest", RDF + "nil")], combos=COMBOS_11)
+
+w3c("0221", "@inlist with heterogeneous members (literal + IRI) "
+    "shares one list per subject+predicate",
+    '<div about="#a">'
+    '<p property="dc:relation" inlist="" content="lit">x</p>'
+    '<a rel="dc:relation" inlist="" href="http://example.org/1">y'
+    '</a></div>',
+    [T(B + "#a", DC + "relation", "?l1"),
+     T("?l1", RDF + "first", "lit", True),
+     T("?l1", RDF + "rest", "?l2"),
+     T("?l2", RDF + "first", "http://example.org/1"),
+     T("?l2", RDF + "rest", RDF + "nil")], combos=COMBOS_11)
+
+w3c("0222", "@inlist members collected across nesting levels in "
+    "document order",
+    '<div about="#a" rel="dc:relation" inlist="">'
+    '<div><a href="http://example.org/1">x</a></div>'
+    '<a href="http://example.org/2">y</a></div>',
+    [T(B + "#a", DC + "relation", "?l1"),
+     T("?l1", RDF + "first", "http://example.org/1"),
+     T("?l1", RDF + "rest", "?l2"),
+     T("?l2", RDF + "first", "http://example.org/2"),
+     T("?l2", RDF + "rest", RDF + "nil")], combos=COMBOS_11)
+
+w3c("0223", "@inlist and a non-list use of the same property "
+    "coexist",
+    '<p about="#a" property="dc:relation" inlist="" content="in">x'
+    '</p>'
+    '<p about="#a" property="dc:relation" content="out">y</p>',
+    [T(B + "#a", DC + "relation", "?l1"),
+     T("?l1", RDF + "first", "in", True),
+     T("?l1", RDF + "rest", RDF + "nil"),
+     T(B + "#a", DC + "relation", "out", True)], combos=COMBOS_11)
+
+w3c("0224", "@inlist hanging @rel collects completing subjects",
+    '<div about="#a" rel="dc:relation" inlist="">'
+    '<p about="#b">x</p><p about="#c">y</p></div>',
+    [T(B + "#a", DC + "relation", "?l1"),
+     T("?l1", RDF + "first", B + "#b"),
+     T("?l1", RDF + "rest", "?l2"),
+     T("?l2", RDF + "first", B + "#c"),
+     T("?l2", RDF + "rest", RDF + "nil")], combos=COMBOS_11)
+
+w3c("0225", "@inlist on different elements with the same INHERITED "
+    "subject merges into ONE list (a new @about would start a new "
+    "list mapping, RDFa Core 7.5 step 8)",
+    '<div about="#a">'
+    '<span property="dc:relation" inlist="" content="one">x</span>'
+    '<span property="dc:relation" inlist="" content="two">y</span>'
+    '</div>',
+    [T(B + "#a", DC + "relation", "?l1"),
+     T("?l1", RDF + "first", "one", True),
+     T("?l1", RDF + "rest", "?l2"),
+     T("?l2", RDF + "first", "two", True),
+     T("?l2", RDF + "rest", RDF + "nil")], combos=COMBOS_11)
+
+w3c("0226", "implicit collections with different subjects "
+    "(resource) stay separate",
+    '<div about="#a" inlist="" rel="dc:relation" '
+    'resource="http://example.org/1">x</div>'
+    '<div about="#b" inlist="" rel="dc:relation" '
+    'resource="http://example.org/2">y</div>',
+    [T(B + "#a", DC + "relation", "?l1"),
+     T("?l1", RDF + "first", "http://example.org/1"),
+     T("?l1", RDF + "rest", RDF + "nil"),
+     T(B + "#b", DC + "relation", "?l2"),
+     T("?l2", RDF + "first", "http://example.org/2"),
+     T("?l2", RDF + "rest", RDF + "nil")], combos=COMBOS_11)
+
+w3c("0227", "implicit collections with different subjects (about) "
+    "stay separate",
+    '<p about="#a" inlist="" property="dc:relation" content="one">x'
+    '</p>'
+    '<p about="#b" inlist="" property="dc:relation" content="two">y'
+    '</p>',
+    [T(B + "#a", DC + "relation", "?l1"),
+     T("?l1", RDF + "first", "one", True),
+     T("?l1", RDF + "rest", RDF + "nil"),
+     T(B + "#b", DC + "relation", "?l2"),
+     T("?l2", RDF + "first", "two", True),
+     T("?l2", RDF + "rest", RDF + "nil")], combos=COMBOS_11)
+
+# -- 1.1 behaviors of the src/typeof permutations ------------------
+
+w3c("0229", "img/@src completes a hanging @rel (1.1: src still a "
+    "subject candidate when no rel/rev on the img itself)",
+    f'<div rel="dc:relation"><img src="{EX_S}"/></div>',
+    [T(B, DC + "relation", EX_S)], combos=COMBOS_11)
+
+w3c("0230", "@src does not set a new subject when @rel/@href are "
+    "present (1.1)",
+    f'<img src="http://wrong.example.org/" rel="dc:relation" '
+    f'href="{EX_O}"/>',
+    [T(B, DC + "relation", EX_O)],
+    absent=[T("http://wrong.example.org/", DC + "relation",
+              EX_O)], combos=COMBOS_11)
+
+w3c("0231", "image license information via the license term",
+    '<div about="http://example.org/image.jpg">'
+    '<a rel="license" href="http://cc.example.org/lic">x</a></div>',
+    [T("http://example.org/image.jpg", XHV + "license",
+       "http://cc.example.org/lic")], combos=COMBOS_11)
+
+w3c("0232", "1.1: @typeof with @rel and nothing else types the "
+    "bnode OBJECT, which chains",
+    '<div rel="dc:relation" typeof="foaf:Person">'
+    '<p property="foaf:name">N</p></div>',
+    [T(B, DC + "relation", "?x"),
+     T("?x", RDF + "type", FOAF + "Person"),
+     T("?x", FOAF + "name", "N", True)], combos=COMBOS_11)
+
+w3c("0233", "1.1: @typeof with @rel and @resource types the "
+    "resource object",
+    f'<div rel="dc:relation" typeof="foaf:Person" '
+    f'resource="{EX_O}">x</div>',
+    [T(B, DC + "relation", EX_O),
+     T(EX_O, RDF + "type", FOAF + "Person")], combos=COMBOS_11)
+
+
+w3c("0039", "@rev with @src/@href (1.1: src not a subject)",
+    f'<span src="{EX_S}" rev="dc:creator" href="{EX_O}">x</span>',
+    [T(EX_O, DC + "creator", B)],
+    absent=[T(EX_O, DC + "creator", EX_S)], combos=COMBOS_11)
+
+
+# xml-host ports for batch-24 numbers with xml+1.1 EARL rows (same
+# generic-xml rule; version-split bodies and xhtml-term-dependent
+# numbers excluded — the xml initial context defines only
+# describedby/license/role as terms)
+_XML_PORT_24 = """0031 0032 0052 0053 0054 0055 0084 0088 0089 0091
+0093 0113 0119 0120 0122 0196 0207 0214 0229""".split()
+
+_BY_ID24 = {c.id: c for c in CASES}
+for _num in _XML_PORT_24:
+    _src = (_BY_ID24.get(f"w3c-{_num}/xhtml+1.1")
+            or _BY_ID24.get(f"w3c-{_num}/xhtml5+1.1")
+            or _BY_ID24.get(f"w3c-{_num}/html5+1.1"))
+    if _src is None or _num not in W3C_BODIES:
+        continue
+    _desc, _body, _extra, _opts = W3C_BODIES[_num]
+    CASES.append(Case(f"w3c-{_num}/xml+1.1", _desc + " (generic xml)",
+                      "xml", "1.1", _xml_doc(_body, _extra),
+                      _src.expect, _src.absent, opts=_opts))
