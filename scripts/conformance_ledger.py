@@ -126,7 +126,10 @@ def classify(rows, ids, all_ids):
                         "Parser.pm:3479-3498)"))
             continue
         if role:
-            if any(i.endswith(f"/{host}+{ver}") for i in role_ids):
+            if f"w3c-{num}/{host}+{ver}" in ids:
+                out.append((name, host, ver, num, "direct",
+                            f"w3c-{num}/{host}+{ver}"))
+            elif any(i.endswith(f"/{host}+{ver}") for i in role_ids):
                 out.append((name, host, ver, num, "thematic",
                             f"role-* cases for {host}+{ver} "
                             f"({sum(1 for i in role_ids if i.endswith(f'/{host}+{ver}'))} pinned)"))
@@ -135,6 +138,10 @@ def classify(rows, ids, all_ids):
                             "role-* cases (xml host role batch)"))
             continue
         if host in ("atom", "datarss"):
+            if f"w3c-{num}/{host}+{ver}" in ids:
+                out.append((name, host, ver, num, "direct",
+                            f"w3c-{num}/{host}+{ver}"))
+                continue
             out.append((name, host, ver, num, "thematic",
                         f"{host}-* cases pin the host's element "
                         f"mapping + feed behaviors "

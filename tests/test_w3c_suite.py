@@ -3325,3 +3325,191 @@ for _num in _XML_PORT_24:
     CASES.append(Case(f"w3c-{_num}/xml+1.1", _desc + " (generic xml)",
                       "xml", "1.1", _xml_doc(_body, _extra),
                       _src.expect, _src.absent, opts=_opts))
+
+
+# ---------------------------------------------------------------------------
+# Batch 25 (round 5): the last numbered families — 0008/0019/0180,
+# the role-attribute suite numbers (0305-0310), and the Atom/DataRSS
+# suite numbers (9001-9013, buzzword.org.uk Atom+RDFa tests).
+# ---------------------------------------------------------------------------
+
+w3c("0008", 'empty string @about refers to the current document',
+    '<p about="" property="dc:title" content="T0008">x</p>',
+    [T(B, DC + "title", "T0008", True)])
+
+w3c("0019", "@about supplies the subject",
+    '<p about="http://example.org/s" property="dc:title" '
+    'content="T0019">x</p>',
+    [T("http://example.org/s", DC + "title", "T0019", True)])
+
+w3c("0180", "an empty @prefix attribute is a valid empty mapping "
+    "(no declarations, no damage)",
+    '<div prefix="" about="#a" property="dc:title" content="ctl">x'
+    '</div>',
+    [T(B + "#a", DC + "title", "ctl", True)], combos=COMBOS_11)
+
+_BY_ID25 = {c.id: c for c in CASES}
+for _num in ["0008", "0019", "0180"]:
+    _src = _BY_ID25.get(f"w3c-{_num}/xhtml+1.1")
+    _desc, _body, _extra, _opts = W3C_BODIES[_num]
+    CASES.append(Case(f"w3c-{_num}/xml+1.1", _desc + " (generic xml)",
+                      "xml", "1.1", _xml_doc(_body, _extra),
+                      _src.expect, _src.absent, opts=_opts))
+
+# -- numbered role-attribute suite (0305-0310) ---------------------
+
+_ROLE_HOSTS = [("html5", "1.1"), ("xhtml", "1.1"), ("xhtml5", "1.1")]
+
+
+def _role_case(num, desc, body, expect, absent=(), xml=True):
+    for host, ver in _ROLE_HOSTS:
+        CASES.append(Case(f"w3c-{num}/{host}+{ver}", desc, host, ver,
+                          doc(body, host, ver), expect, absent,
+                          opts={"role_attr": True}))
+    if xml:
+        CASES.append(Case(f"w3c-{num}/xml+1.1", desc + " (xml)",
+                          "xml", "1.1", _xml_doc(body), expect,
+                          absent, opts={"role_attr": True}))
+
+
+_role_case("0305", "role attribute with explicit id and term",
+           '<div id="x" role="banner">c</div>',
+           [T(B + "#x", XHV + "role", XHV + "banner")])
+
+_role_case("0307", "role attribute with term and no id (bnode "
+           "subject)",
+           '<div role="banner">c</div>',
+           [T("?b", XHV + "role", XHV + "banner")])
+
+_role_case("0308", "role attribute with explicit id and IRI object",
+           '<div id="x" role="http://example.org/custom">c</div>',
+           [T(B + "#x", XHV + "role", "http://example.org/custom")])
+
+_role_case("0309", "role attribute with explicit id and CURIE "
+           "object",
+           '<div id="x" role="ex:widget">c</div>',
+           [T(B + "#x", XHV + "role", EX + "widget")])
+
+_role_case("0310", "role attribute with multiple values",
+           '<div id="x" role="banner navigation">c</div>',
+           [T(B + "#x", XHV + "role", XHV + "banner"),
+            T(B + "#x", XHV + "role", XHV + "navigation")])
+
+# 0306: the id subject resolves against an explicit <base>
+for host, ver in _ROLE_HOSTS:
+    xh = ('xmlns="http://www.w3.org/1999/xhtml" '
+          if host in ("xhtml", "xhtml5") else "")
+    pfx = ('prefix="'
+           + " ".join(f"{p}: {u}" for p, u in PREFIXES.items())
+           + '"')
+    CASES.append(Case(
+        f"w3c-0306/{host}+{ver}",
+        "role attribute with explicit base, id and term", host, ver,
+        f'<html {xh}{pfx}><head>'
+        f'<base href="http://www.example.org/"/>'
+        f'<title>t</title></head><body>'
+        f'<div id="x" role="banner">c</div></body></html>',
+        [T("http://www.example.org/#x", XHV + "role",
+           XHV + "banner")],
+        opts={"role_attr": True}))
+
+# -- Atom / DataRSS suite numbers (9001-9013) ----------------------
+
+ATOM_NS = "http://www.w3.org/2005/Atom"
+IANA = "http://www.iana.org/assignments/relation/"
+_AD_BOTH = [("atom", "1.0"), ("atom", "1.1"),
+            ("datarss", "1.0"), ("datarss", "1.1")]
+_AD_11 = [("atom", "1.1"), ("datarss", "1.1")]
+
+
+def _atom_case(num, desc, body, expect, absent=(), combos=_AD_BOTH,
+               feed_attrs=""):
+    for host, ver in combos:
+        CASES.append(Case(
+            f"w3c-{num}/{host}+{ver}", desc, host, ver,
+            f'<feed xmlns="{ATOM_NS}" xmlns:dc="{DC}" '
+            f'xmlns:ex="{EX}" {feed_attrs}>{body}</feed>',
+            expect, absent))
+
+
+_atom_case("9001", "simple triple (atom host)",
+           '<title about="#a" property="dc:title">T</title>',
+           [T(B + "#a", DC + "title", "T", True)])
+
+_atom_case("9002", "simple triple via @prefix (1.1 only)",
+           '<title about="#a" property="my:p">T</title>',
+           [T(B + "#a", "http://example.org/my#p", "T", True)],
+           combos=_AD_11,
+           feed_attrs='prefix="my: http://example.org/my#"')
+
+_atom_case("9003", "default subject for the root element",
+           '<title property="dc:title">T</title>',
+           [T(B, DC + "title", "T", True)])
+
+_atom_case("9004", "default subject for entry elements (bnode)",
+           '<entry><title property="dc:title">T</title></entry>',
+           [T("?e", DC + "title", "T", True)])
+
+_atom_case("9005", "default subjects: feed root vs entry bnode",
+           '<title property="dc:title">F</title>'
+           '<entry><title property="dc:title">E</title></entry>',
+           [T(B, DC + "title", "F", True),
+            T("?e", DC + "title", "E", True)])
+
+_atom_case("9006", "each entry element gets its own bnode subject",
+           '<entry><title property="dc:title">E1</title></entry>'
+           '<entry><title property="dc:description">E2</title>'
+           '</entry>',
+           [T("?e1", DC + "title", "E1", True),
+            T("?e2", DC + "description", "E2", True)])
+
+_atom_case("9007", "xml:base is honored (atom host)",
+           '<title about="doc2" property="dc:title">T</title>',
+           [T("http://other.example/dir/doc2", DC + "title", "T",
+              True)],
+           feed_attrs='xml:base="http://other.example/dir/"')
+
+_atom_case("9008", "xml:lang tags literals (atom host)",
+           '<title about="#a" property="dc:title" xml:lang="fr">T'
+           '</title>',
+           [T(B + "#a", DC + "title", "T", True, lang="fr")])
+
+_atom_case("9009", "bare @rel terms use the IANA link-relation "
+           "registry",
+           '<link rel="self" href="http://x.org/f.atom"/>',
+           [T(B, IANA + "self", "http://x.org/f.atom")])
+
+_atom_case("9010", "unknown bare terms still resolve through the "
+           "host's default vocabulary (vocab_default=IANA, "
+           "Config.pm atom host)",
+           '<link rel="frobnicate27" href="http://x.org/n"/>'
+           '<link rel="self" href="http://x.org/f.atom"/>',
+           [T(B, IANA + "frobnicate27", "http://x.org/n"),
+            T(B, IANA + "self", "http://x.org/f.atom")])
+
+_atom_case("9011", "@vocab has primacy over host terms (1.1)",
+           '<link vocab="http://example.org/v#" rel="self" '
+           'href="http://x.org/f.atom"/>',
+           [T(B, "http://example.org/v#self",
+              "http://x.org/f.atom")],
+           absent=[T(B, IANA + "self", "http://x.org/f.atom")],
+           combos=_AD_11)
+
+_atom_case("9012", "RDFa 1.1 @prefix declarations work in the feed",
+           '<entry prefix="po: http://po.example/">'
+           '<title about="#a" property="po:x">T</title></entry>',
+           [T(B + "#a", "http://po.example/x", "T", True)],
+           combos=_AD_11)
+
+# 9013: the DataRSS host preloads the searchmonkey profile prefixes
+for _ver in ("1.0", "1.1"):
+    CASES.append(Case(
+        f"w3c-9013/datarss+{_ver}",
+        "DataRSS host preloads the searchmonkey profile prefixes",
+        "datarss", _ver,
+        f'<feed xmlns="{ATOM_NS}">'
+        f'<title about="#a" property="commerce:price">9</title>'
+        f'</feed>',
+        [T(B + "#a",
+           "http://search.yahoo.com/searchmonkey/commerce/price",
+           "9", True)]))
