@@ -3513,3 +3513,43 @@ for _ver in ("1.0", "1.1"):
         [T(B + "#a",
            "http://search.yahoo.com/searchmonkey/commerce/price",
            "9", True)]))
+
+
+# 0202/0203: xml:base in XHTML5 (+ generic xml); 0234: the HTML
+# link-relation terms, pinned via the reference's own html5 profile
+# term list intersected with the xhtml vocabulary (one body across
+# hosts).
+_XB = "http://other.example/dir/"
+
+w3c("0202", "@xml:base on the root element is honored (XHTML5)",
+    '<p about="rel" property="dc:title" content="T">x</p>',
+    [T(_XB + "rel", DC + "title", "T", True)],
+    combos=[("xhtml5", "1.1")],
+    extra=f'xml:base="{_XB}"')
+
+w3c("0203", "@xml:base on non-root elements is honored (XHTML5)",
+    f'<div xml:base="{_XB}"><p about="rel" property="dc:title" '
+    f'content="T">x</p></div>',
+    [T(_XB + "rel", DC + "title", "T", True)],
+    combos=[("xhtml5", "1.1")])
+
+_BY_ID26 = {c.id: c for c in CASES}
+for _num in ["0202", "0203"]:
+    _src = _BY_ID26[f"w3c-{_num}/xhtml5+1.1"]
+    _desc, _body, _extra, _opts = W3C_BODIES[_num]
+    CASES.append(Case(f"w3c-{_num}/xml+1.1", _desc + " (generic xml)",
+                      "xml", "1.1", _xml_doc(_body, _extra),
+                      _src.expect, _src.absent, opts=_opts))
+
+# intersection of the html4 profile, html5 profile, and xhtml
+# vocabulary term lists (context.py mirrors Config.pm's profiles)
+_HTML_RELS_COMMON = """alternate bookmark help index license next
+prev stylesheet""".split()
+
+w3c("0234", "HTML link relation values resolve as terms across "
+    "hosts (html5 profile x xhtml vocabulary intersection)",
+    f'<a about="#a" rel="{" ".join(_HTML_RELS_COMMON)}" '
+    f'href="http://example.org/n">x</a>',
+    [T(B + "#a", XHV + t, "http://example.org/n")
+     for t in _HTML_RELS_COMMON],
+    combos=COMBOS_11)
