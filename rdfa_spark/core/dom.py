@@ -400,6 +400,14 @@ tbody td tfoot th thead tr body""".split())
 
 _MARKER = object()      # the AFE marker sentinel
 
+# Tags taking ANY special branch in handle_starttag (implied ends,
+# table machinery, formatting/AFE, markers, voids, html itself) —
+# everything else takes the plain insert fast path.
+_NONPLAIN_START = (frozenset({"html", "table", "a", "nobr"})
+                   | _CLOSE_P | frozenset(_IMPLIED_END)
+                   | _TABLE_STRUCTURE | _FORMATTING
+                   | _AFE_MARKER_TAGS | _VOID)
+
 # Bound on active-formatting entries per marker segment: the spec's
 # Noah's-Ark clause only dedups IDENTICAL (tag, attrs) entries, so
 # crafted pages with distinct attrs ('<p><b class=N>x</p>' * M) grow
@@ -550,6 +558,22 @@ class _SoupBuilder(HTMLParser):
         return el
 
     def handle_starttag(self, tag, attrs):
+        # fast path: ordinary phrasing/unknown tags (span, custom
+        # elements, RDFa-bearing wrappers) outside table context hit
+        # none of the implied-end / table / formatting machinery —
+        # reconstruct-if-needed, insert, push.  _PLAIN_START is the
+        # complement of every tag any branch below special-cases.
+        stack = self.stack
+        if (tag not in _NONPLAIN_START and stack
+                and stack[-1].tag not in _TABLE_CTX):
+            if self.afe and tag not in _NO_RECONSTRUCT:
+                self._reconstruct_afe()
+                stack = self.stack
+            parent = stack[-1]
+            el = Element(tag, _attr_dict(attrs), parent)
+            parent.children.append(el)
+            stack.append(el)
+            return
         if tag == "html":
             if self.root is None:
                 self.root = Element("html", _attr_dict(attrs))
