@@ -426,6 +426,11 @@ class _SoupBuilder(HTMLParser):
         # list of active formatting elements (WHATWG 13.2.4.3):
         # Element refs interleaved with _MARKER sentinels
         self.afe: list = []
+        # identity set mirroring self.stack: _on_stack must be O(1)
+        # — an O(depth) scan per tag is quadratic on deep-stack soup
+        # (every push/pop/replace below keeps it in sync; pinned by
+        # the tree battery's invariant check)
+        self._stack_ids: set[int] = set()
 
     def parse_marked_section(self, i, report=1):
         # _markupbase raises AssertionError on an unknown (or
@@ -448,6 +453,7 @@ class _SoupBuilder(HTMLParser):
         if self.root is None:
             self.root = Element("html", {})
             self.stack = [self.root]
+            self._stack_ids = {id(self.root)}
 
     # -- active formatting elements (WHATWG 13.2.4.3) ----------------
     def _afe_push(self, el):
@@ -470,7 +476,7 @@ class _SoupBuilder(HTMLParser):
         self.afe.append(el)
 
     def _on_stack(self, el) -> bool:
-        return any(s is el for s in self.stack)
+        return id(el) in self._stack_ids
 
     def _clear_afe_to_marker(self):
         for j in range(len(self.afe) - 1, -1, -1):
@@ -486,6 +492,7 @@ class _SoupBuilder(HTMLParser):
         popped = self.stack[i:]
         del self.stack[i:]
         for el in popped:
+            self._stack_ids.discard(id(el))
             if el.tag in _AFE_MARKER_TAGS:
                 self._clear_afe_to_marker()
 
@@ -555,6 +562,7 @@ class _SoupBuilder(HTMLParser):
         parent.children.append(el)
         if push:
             self.stack.append(el)
+            self._stack_ids.add(id(el))
         return el
 
     def handle_starttag(self, tag, attrs):
@@ -573,11 +581,13 @@ class _SoupBuilder(HTMLParser):
             el = Element(tag, _attr_dict(attrs), parent)
             parent.children.append(el)
             stack.append(el)
+            self._stack_ids.add(id(el))
             return
         if tag == "html":
             if self.root is None:
                 self.root = Element("html", _attr_dict(attrs))
                 self.stack = [self.root]
+                self._stack_ids = {id(self.root)}
             else:
                 for _k, _v in attrs:
                     self.root.attrs.setdefault(_k, _v)
@@ -638,6 +648,7 @@ class _SoupBuilder(HTMLParser):
                     for k in range(len(self.stack) - 1, 0, -1):
                         if self.stack[k] is e:
                             del self.stack[k]
+                            self._stack_ids.discard(id(e))
                             break
                     break
         elif tag == "nobr":
@@ -656,12 +667,14 @@ class _SoupBuilder(HTMLParser):
             if tag not in _VOID:
                 # fostered element still becomes the current node
                 self.stack.append(el)
+                self._stack_ids.add(id(el))
         else:
             parent = self.stack[-1]
             el = Element(tag, _attr_dict(attrs), parent)
             parent.children.append(el)
             if tag not in _VOID:
                 self.stack.append(el)
+                self._stack_ids.add(id(el))
         if tag in _FORMATTING:
             self._afe_push(el)
         elif tag in _AFE_MARKER_TAGS:
@@ -797,11 +810,14 @@ class _SoupBuilder(HTMLParser):
                     in_afe = False
                 if not in_afe:
                     del self.stack[node_i]
+                    self._stack_ids.discard(id(node))
                     continue
                 clone = Element(node.tag, dict(node.attrs))
                 self.afe[next(j for j, e in enumerate(self.afe)
                               if e is node)] = clone
                 self.stack[node_i] = clone
+                self._stack_ids.discard(id(node))
+                self._stack_ids.add(id(clone))
                 node = clone
                 if last_node is fb:
                     bookmark = next(j for j, e in enumerate(self.afe)
@@ -821,9 +837,11 @@ class _SoupBuilder(HTMLParser):
             self.afe.insert(bookmark, fclone)
             fi = next(i for i, s in enumerate(self.stack) if s is F)
             del self.stack[fi]
+            self._stack_ids.discard(id(F))
             fb_i = next(i for i, s in enumerate(self.stack)
                         if s is fb)
             self.stack.insert(fb_i + 1, fclone)
+            self._stack_ids.add(id(fclone))
 
     def handle_endtag(self, tag):
         if tag in _VOID:
@@ -875,6 +893,7 @@ class _SoupBuilder(HTMLParser):
                         parent.children.insert(at, c)
                         self.afe[j] = c
                         self.stack.append(c)
+                        self._stack_ids.add(id(c))
                         parent, at = c, 0
                     parent.children.append(data)
                     return

@@ -151,3 +151,29 @@ def test_afe_segment_cap_bounds_clone_growth():
         return max([depth(c, d + 1) for c in n.children] or [d])
 
     assert depth(doc.root) <= 40     # 32 clones + structural slack
+
+
+def test_stack_identity_set_invariant():
+    """The O(1) on-stack identity set must mirror the real stack
+    after every parse — across the tree corpus, the soup fixtures,
+    and a fuzz sample (catches any missed mutation site)."""
+    import random
+
+    from rdfa_spark.core.dom import _SoupBuilder
+    from rdfa_spark.core.soup_lexer import feed_events
+
+    def check(markup):
+        b = _SoupBuilder()
+        feed_events(b, markup)
+        assert b._stack_ids == {id(s) for s in b.stack}, markup[:80]
+
+    for m, _ in TREE_CASES:
+        check(m)
+    import test_soup_lexer_ab as ab
+    for m in ab.EDGE_CASES:
+        check(m)
+    random.seed(99)
+    for _ in range(800):
+        s = "".join(random.choice(ab.FUZZ_FRAGS)
+                    for _ in range(random.randrange(0, 18)))
+        check(s)
