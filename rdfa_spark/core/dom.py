@@ -643,8 +643,10 @@ class _SoupBuilder(HTMLParser):
                     break
                 if e.tag == "a":
                     self._adoption("a")
-                    if any(x is e for x in self.afe):
-                        self.afe.remove(e)
+                    for k in range(len(self.afe) - 1, -1, -1):
+                        if self.afe[k] is e:
+                            del self.afe[k]
+                            break
                     for k in range(len(self.stack) - 1, 0, -1):
                         if self.stack[k] is e:
                             del self.stack[k]
@@ -754,12 +756,13 @@ class _SoupBuilder(HTMLParser):
         for _outer in range(8):
             # the last AFE entry for `subject` after the last marker
             F = None
+            fj = -1
             for j in range(len(self.afe) - 1, -1, -1):
                 e = self.afe[j]
                 if e is _MARKER:
                     break
                 if e.tag == subject:
-                    F = e
+                    F, fj = e, j
                     break
             if F is None:
                 # any other end tag (approximation: pop to a literal
@@ -770,7 +773,7 @@ class _SoupBuilder(HTMLParser):
                         return
                 return
             if not self._on_stack(F):
-                self.afe.remove(F)          # parse error: drop entry
+                del self.afe[fj]            # parse error: drop entry
                 return
             fi = next(i for i, s in enumerate(self.stack) if s is F)
             if not self._in_scope(subject):
@@ -785,11 +788,10 @@ class _SoupBuilder(HTMLParser):
                     break
             if fb is None:
                 self._pop_stack(fi)
-                self.afe.remove(F)
+                del self.afe[fj]
                 return
             common = self.stack[fi - 1]
-            bookmark = next(j for j, e in enumerate(self.afe)
-                            if e is F)
+            bookmark = fj
             node_i = fb_i
             node = fb
             last_node = fb
@@ -800,28 +802,26 @@ class _SoupBuilder(HTMLParser):
                 node = self.stack[node_i]
                 if node is F:
                     break
-                in_afe = any(e is node for e in self.afe)
-                if inner > 3 and in_afe:
-                    idx = next(j for j, e in enumerate(self.afe)
-                               if e is node)
-                    del self.afe[idx]
-                    if idx < bookmark:
+                ni = next((j for j in range(len(self.afe) - 1,
+                                            -1, -1)
+                           if self.afe[j] is node), -1)
+                if inner > 3 and ni >= 0:
+                    del self.afe[ni]
+                    if ni < bookmark:
                         bookmark -= 1
-                    in_afe = False
-                if not in_afe:
+                    ni = -1
+                if ni < 0:
                     del self.stack[node_i]
                     self._stack_ids.discard(id(node))
                     continue
                 clone = Element(node.tag, dict(node.attrs))
-                self.afe[next(j for j, e in enumerate(self.afe)
-                              if e is node)] = clone
+                self.afe[ni] = clone
                 self.stack[node_i] = clone
                 self._stack_ids.discard(id(node))
                 self._stack_ids.add(id(clone))
                 node = clone
                 if last_node is fb:
-                    bookmark = next(j for j, e in enumerate(self.afe)
-                                    if e is node) + 1
+                    bookmark = ni + 1
                 self._detach(last_node)
                 node.children.append(last_node)
                 last_node.parent = node
@@ -833,7 +833,13 @@ class _SoupBuilder(HTMLParser):
                 if isinstance(c, Element):
                     c.parent = fclone
             fb.children = [fclone]
-            self.afe.remove(F)
+            # F's index (backward scan: it sits near the active
+            # segment's end); removing it shifts any later bookmark
+            fj2 = next(j for j in range(len(self.afe) - 1, -1, -1)
+                       if self.afe[j] is F)
+            del self.afe[fj2]
+            if fj2 < bookmark:
+                bookmark -= 1
             self.afe.insert(bookmark, fclone)
             fi = next(i for i, s in enumerate(self.stack) if s is F)
             del self.stack[fi]
