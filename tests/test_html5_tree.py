@@ -177,3 +177,44 @@ def test_stack_identity_set_invariant():
         s = "".join(random.choice(ab.FUZZ_FRAGS)
                     for _ in range(random.randrange(0, 18)))
         check(s)
+
+
+def test_fuzz_formatting_machinery_parity():
+    """Formatting/table/marker-dense fuzz (the shapes that exercise
+    the AAA, AFE markers, and foster machinery hardest): both
+    tokenizers must build identical trees and the stack identity set
+    must hold.  A 20k-trial soak of this generator passed in round
+    5; this keeps a 2.5k-trial sample in the suite."""
+    import random
+
+    import test_soup_lexer_ab as ab
+    from rdfa_spark.core.dom import (Comment, _SoupBuilder,
+                                     parse_html, parse_html_stdlib)
+    from rdfa_spark.core.soup_lexer import feed_events
+
+    frags = ab.FUZZ_FRAGS + [
+        "<b>", "<i>", "<u>", "</i>", "</u>", "<nobr>",
+        "<a href=x>", "</a>", "<table>", "</table>", "<td>",
+        "</td>", "<tr>", "<object>", "</object>", "<caption>",
+        "</caption>", "<template>", "<marquee>", "</marquee>",
+        "<b class=1>", "<b class=2>", "</em>", "<em>", "<div>",
+        "</div>", "text",
+    ]
+
+    def ser(n):
+        if isinstance(n, str):
+            return ("T", n)
+        if isinstance(n, Comment):
+            return ("C", n.data)
+        return ("E", n.tag, tuple(sorted(n.attrs.items())),
+                tuple(ser(c) for c in n.children))
+
+    random.seed(777)
+    for _ in range(2500):
+        s = "".join(random.choice(frags)
+                    for _ in range(random.randrange(0, 24)))
+        assert ser(parse_html(s).root) == \
+            ser(parse_html_stdlib(s).root), repr(s)[:150]
+        b = _SoupBuilder()
+        feed_events(b, s)
+        assert b._stack_ids == {id(x) for x in b.stack}, repr(s)[:150]
