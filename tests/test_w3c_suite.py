@@ -3553,3 +3553,43 @@ w3c("0234", "HTML link relation values resolve as terms across "
     [T(B + "#a", XHV + t, "http://example.org/n")
      for t in _HTML_RELS_COMMON],
     combos=COMBOS_11)
+
+
+# svg-host instantiations: several batch-23/24 numbers carry
+# svg+1.1 EARL rows; the svg host is plain RDFa Core on the XML
+# walker (no host overrides, xml:base honored), so the pinned
+# bodies re-instantiate under an <svg> root.  Term-dependent
+# numbers excluded (the svg initial context carries no xhtml terms).
+SVG_NS = "http://www.w3.org/2000/svg"
+
+
+def _svg_doc(body: str, extra: str = "") -> str:
+    pfx = ('prefix="'
+           + " ".join(f"{p}: {u}" for p, u in PREFIXES.items())
+           + '"')
+    return (f'<svg xmlns="{SVG_NS}" {pfx} {extra}>{body}</svg>')
+
+
+CASES.append(Case(
+    "w3c-0201/svg+1.1",
+    "expressing an attribute value with @property (svg)",
+    "svg", "1.1",
+    _svg_doc('<desc about="#a" property="dc:title" '
+             'content="T0201">d</desc>'),
+    [T(B + "#a", DC + "title", "T0201", True)]))
+
+_SVG_PORT = """0202 0203 0214 0220 0221 0222 0223 0224 0225
+0226 0227 0259 0289 0290 0291 0292 0293""".split()
+
+_BY_ID_SVG = {c.id: c for c in CASES}
+for _num in _SVG_PORT:
+    _src = (_BY_ID_SVG.get(f"w3c-{_num}/xhtml5+1.1")
+            or _BY_ID_SVG.get(f"w3c-{_num}/xhtml+1.1")
+            or _BY_ID_SVG.get(f"w3c-{_num}/html5+1.1"))
+    if _src is None or _num not in W3C_BODIES:
+        continue
+    _desc, _body, _extra, _opts = W3C_BODIES[_num]
+    CASES.append(Case(
+        f"w3c-{_num}/svg+1.1", _desc + " (svg host)", "svg", "1.1",
+        _svg_doc(_body, _extra), _src.expect, _src.absent,
+        opts=_opts))
