@@ -3593,3 +3593,68 @@ for _num in _SVG_PORT:
         f"w3c-{_num}/svg+1.1", _desc + " (svg host)", "svg", "1.1",
         _svg_doc(_body, _extra), _src.expect, _src.absent,
         opts=_opts))
+
+
+# final conversions: svg rows for 0299-0301, xml instantiations of
+# the head-subject family (plain inheritance yields the same graph
+# in generic xml) and of the 1.1 @src-semantics bodies, and the 1.0
+# variant of 0258 (xmlns:_ instead of @prefix)
+for _num in ["0299", "0300", "0301"]:
+    _src = _BY_ID_SVG.get(f"w3c-{_num}/xhtml5+1.1") or \
+        {c.id: c for c in CASES}[f"w3c-{_num}/html5+1.1"]
+    _desc, _body, _extra, _opts = W3C_BODIES[_num]
+    CASES.append(Case(
+        f"w3c-{_num}/svg+1.1", _desc + " (svg host)", "svg", "1.1",
+        _svg_doc(_body, _extra), _src.expect, _src.absent,
+        opts=_opts))
+
+for _num, _head in [
+    ("0264", '<head property="dc:title" content="T0264">'
+             '<title>t</title></head>'),
+    ("0265", '<head property="dc:title" content="T0265">'
+             '<title>t</title></head>'),
+    ("0269", '<head><title property="dc:title">Test 0269</title>'
+             '</head>'),
+    ("0271", '<head about="http://example.org/doc">'
+             '<title property="dc:title">X</title></head>'),
+]:
+    _src = {c.id: c for c in CASES}[f"w3c-{_num}/xhtml+1.1"]
+    CASES.append(Case(
+        f"w3c-{_num}/xml+1.1",
+        _src.desc + " (generic xml: plain subject inheritance "
+        "yields the same graph)", "xml", "1.1",
+        _xml_doc(_head), _src.expect, _src.absent))
+
+w3c_xml_11_bodies = [
+    ("0034", f'<img about="#a" rel="dc:relation" src="{EX_S}"/>',
+     [T(B + "#a", DC + "relation", EX_S)], ()),
+    ("0036", f'<img src="{EX_S}" rel="dc:relation" '
+             f'resource="{EX_O}"/>',
+     [T(B, DC + "relation", EX_O)],
+     [T(EX_S, DC + "relation", EX_O)]),
+    ("0038", f'<img src="{EX_S}" rev="dc:creator" href="{EX_O}"/>',
+     [T(EX_O, DC + "creator", B)],
+     [T(EX_O, DC + "creator", EX_S)]),
+    ("0039", f'<span src="{EX_S}" rev="dc:creator" '
+             f'href="{EX_O}">x</span>',
+     [T(EX_O, DC + "creator", B)],
+     [T(EX_O, DC + "creator", EX_S)]),
+    ("0051", '<div typeof="foaf:Person" property="foaf:name">'
+             'Alice</div>',
+     [T("?x", RDF + "type", FOAF + "Person"),
+      T(B, FOAF + "name", "?x")], ()),
+]
+for _num, _body, _exp, _abs in w3c_xml_11_bodies:
+    CASES.append(Case(
+        f"w3c-{_num}/xml+1.1",
+        f"{_num} 1.1 semantics (generic xml)", "xml", "1.1",
+        _xml_doc(_body), _exp, _abs))
+
+w3c("0258", "1.0: the underscore is not a usable xmlns prefix "
+    "(the bnode branch wins; no u# triple forms)",
+    '<div xmlns:_="http://example.org/u#" about="#a" '
+    'property="dc:title" content="ctl">'
+    '<p about="#a" property="_:pred" content="x">x</p></div>',
+    [T(B + "#a", DC + "title", "ctl", True)],
+    absent=[T(B + "#a", "http://example.org/u#pred", "x", True)],
+    combos=COMBOS_10)
