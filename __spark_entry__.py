@@ -117,10 +117,18 @@ def q_rdfa_triples_stream(spark: SparkSession,
     q = (extract_triples_stream(stream)
          .writeStream.format("memory").queryName(name)
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    shutil.rmtree(src, ignore_errors=True)  # results live in the
-    return spark.table(name).select(        # memory sink now
-        "url", "subj", "pred", "obj", "obj_is_literal",
+    try:
+        # availableNow terminates on its own; a False return means
+        # the host stalled past the budget — grading a mid-stream
+        # memory table would be nondeterministic, so fail loudly
+        if not q.awaitTermination(300):
+            raise RuntimeError(
+                "extract_stream did not drain within 300s")
+    finally:
+        q.stop()                            # no-op if terminated
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.table(name).select(        # memory sink holds
+        "url", "subj", "pred", "obj", "obj_is_literal",  # results
         "obj_datatype", "obj_lang")
 
 

@@ -765,11 +765,17 @@ class _SoupBuilder(HTMLParser):
                     F, fj = e, j
                     break
             if F is None:
-                # any other end tag (approximation: pop to a literal
-                # match; stray end tags with no match are ignored)
+                # no AFE entry -> spec says act per "any other end
+                # tag" (13.2.6.4.7): a _SPECIAL element before the
+                # match means the token is ignored — an evicted
+                # (Noah's Ark / segment-cap) formatting end tag must
+                # not punch through an open block element
                 for i in range(len(self.stack) - 1, 0, -1):
-                    if self.stack[i].tag == subject:
+                    t = self.stack[i].tag
+                    if t == subject:
                         self._pop_stack(i)
+                        return
+                    if t in _SPECIAL:
                         return
                 return
             if not self._on_stack(F):
@@ -909,6 +915,17 @@ class _SoupBuilder(HTMLParser):
                 else:
                     par.children.insert(idx, data)
                 return
+        elif self.stack and self.stack[-1].tag in _TABLE_CTX:
+            # "in table text" (13.2.6.4.9): an all-whitespace run is
+            # inserted directly, WITHOUT reconstructing formatting —
+            # else a dirty AFE clones e.g. <b> inside the row and the
+            # table-structure re-entry splits the table in two
+            kids = self.stack[-1].children
+            if kids and isinstance(kids[-1], str):
+                kids[-1] += data
+            else:
+                kids.append(data)
+            return
         self._reconstruct_afe()
         kids = self.stack[-1].children
         if kids and isinstance(kids[-1], str):

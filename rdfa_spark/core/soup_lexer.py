@@ -193,6 +193,7 @@ def feed_events(builder, markup: str) -> None:  # noqa: C901
             # --- parse_endtag (non-cdata) -------------------------
             gt = find(">", i + 1)
             if gt < 0:
+                work += n - i        # failed close-scan covered tail
                 k = recover(i)
                 emit_text(i, k)
                 i = k
@@ -208,6 +209,7 @@ def feed_events(builder, markup: str) -> None:  # noqa: C901
                     # parse_bogus_comment
                     pos = find(">", i + 2)
                     if pos < 0:
+                        work += n - i    # failed close-scan
                         k = recover(i)
                         emit_text(i, k)
                         i = k
@@ -226,6 +228,7 @@ def feed_events(builder, markup: str) -> None:  # noqa: C901
         if markup.startswith("<!--", i):
             close = find("-->", i + 4)
             if close < 0:
+                work += n - i        # failed close-scan covered tail
                 k = recover(i)
                 emit_text(i, k)
                 i = k
@@ -237,6 +240,7 @@ def feed_events(builder, markup: str) -> None:  # noqa: C901
         if markup.startswith("<?", i):
             gt = find(">", i + 2)
             if gt < 0:
+                work += n - i        # failed close-scan covered tail
                 k = recover(i)
                 emit_text(i, k)
                 i = k
@@ -250,6 +254,7 @@ def feed_events(builder, markup: str) -> None:  # noqa: C901
                 # pick the close regex per keyword family
                 nm = _MS_DECLNAME.match(markup, i + 3)
                 if nm is not None and nm.end() == n:
+                    work += n - i        # name scan ran to buffer end
                     k = recover(i)       # _scan_name end-of-buffer
                     emit_text(i, k)
                     i = k
@@ -268,6 +273,7 @@ def feed_events(builder, markup: str) -> None:  # noqa: C901
                     # wraps the raise identically)
                     pos = find(">", i + 2)
                     if pos < 0:
+                        work += n - i    # failed close-scan
                         k = recover(i)
                         emit_text(i, k)
                         i = k
@@ -276,6 +282,7 @@ def feed_events(builder, markup: str) -> None:  # noqa: C901
                     i = pos + 1
                     continue
                 if close is None:
+                    work += n - i        # failed close-scan
                     k = recover(i)
                     emit_text(i, k)
                     i = k
@@ -285,6 +292,7 @@ def feed_events(builder, markup: str) -> None:  # noqa: C901
             if markup[i + 2:i + 9].lower() == "doctype":
                 gt = find(">", i + 2)
                 if gt < 0:
+                    work += n - i    # failed close-scan covered tail
                     k = recover(i)
                     emit_text(i, k)
                     i = k
@@ -294,6 +302,7 @@ def feed_events(builder, markup: str) -> None:  # noqa: C901
             # parse_bogus_comment
             pos = find(">", i + 2)
             if pos < 0:
+                work += n - i        # failed close-scan covered tail
                 k = recover(i)
                 emit_text(i, k)
                 i = k

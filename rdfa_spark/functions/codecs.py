@@ -9,11 +9,20 @@ genuinely decode are implemented for real:
   envelope feature;
 * JPEG — dimensions from the SOF marker (pixel decode needs a DCT
   library; feature stays None);
-* GIF  — dimensions from the logical screen descriptor.
+* GIF  — dimensions from the logical screen descriptor, frame count
+  from the block walk;
+* WEBP — dimensions from the VP8X/VP8L/'VP8 ' headers;
+* MP4  — dimensions, frame count and duration from the ISO-BMFF box
+  structure (public ISO/IEC 14496-12: moov/trak/tkhd for the visual
+  track's 16.16-fixed width/height, stbl/stts for the sample count,
+  mdhd for timescale/duration) — stdlib-only byte walking.
 
-Anything else (MP4, WEBP, ...) raises NotImplementedError at the
-decode site — the honest stub the container forces for formats with
-no stdlib codec.
+Pixel/sample decode for formats whose bitstreams need a codec the
+stdlib lacks (JPEG/WebP DCT, MP4 video) stays out of scope: those
+return dims-level metadata with ``feature=None``.  A format the
+sniffer can't identify raises NotImplementedError at the decode
+site — the honest boundary where PIL/ffmpeg plug in on a real
+cluster.
 """
 
 from __future__ import annotations
@@ -40,6 +49,8 @@ def sniff_format(payload: bytes) -> str:
         return "wav"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return "webp"
+    if payload[4:8] == b"ftyp":
+        return "mp4"
     return "unknown"
 
 
@@ -325,6 +336,110 @@ def webp_dimensions(data: bytes) -> tuple[int, int]:
     raise ValueError(f"unknown WebP chunk {chunk!r}")
 
 
+def _iter_boxes(data: bytes, start: int, end: int):
+    """Yield (type, body_start, box_end) for each ISO-BMFF box in
+    data[start:end].  Handles 64-bit largesize (size==1) and
+    to-end-of-file (size==0); truncated boxes raise ValueError."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos:pos + 4], "big")
+        typ = data[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            size = int.from_bytes(data[pos + 8:pos + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("truncated MP4 box")
+        yield typ, pos + hdr, pos + size
+        pos += size
+
+
+def _find_box(data: bytes, start: int, end: int,
+              typ: bytes) -> tuple[int, int] | None:
+    for t, b, e in _iter_boxes(data, start, end):
+        if t == typ:
+            return b, e
+    return None
+
+
+def mp4_metadata(data: bytes):
+    """-> (width, height, n_frames, duration_ms) from the ISO-BMFF
+    box structure, stdlib-only (ISO/IEC 14496-12 is a public spec):
+
+    * width/height: the first trak whose tkhd carries nonzero
+      16.16-fixed presentation dims (the visual track);
+    * n_frames: sum of stts sample counts in that track's stbl;
+    * duration_ms: that track's mdhd duration / timescale.
+
+    Malformed/truncated boxes raise ValueError (same contract as a
+    truncated PNG) — never a silent partial answer."""
+    if data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file")
+    moov = _find_box(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov box")
+    for typ, tb, te in _iter_boxes(data, *moov):
+        if typ != b"trak":
+            continue
+        tkhd = _find_box(data, tb, te, b"tkhd")
+        if tkhd is None:
+            continue
+        p, pe = tkhd
+        ver = data[p]
+        # after version+flags: v0 ctime/mtime/id/rsvd/duration = 20
+        # bytes, v1 = 32; then rsvd(8) layer(2) altgrp(2) volume(2)
+        # rsvd(2) matrix(36), then 16.16-fixed width/height
+        p += 4 + (32 if ver == 1 else 20) + 8 + 2 + 2 + 2 + 2 + 36
+        if p + 8 > pe:
+            raise ValueError("truncated tkhd box")
+        w = int.from_bytes(data[p:p + 4], "big") >> 16
+        h = int.from_bytes(data[p + 4:p + 8], "big") >> 16
+        if w == 0 or h == 0:
+            continue                   # non-visual track (audio/hint)
+        mdia = _find_box(data, tb, te, b"mdia")
+        if mdia is None:
+            raise ValueError("visual trak missing mdia")
+        n_frames = duration_ms = None
+        mdhd = _find_box(data, *mdia, b"mdhd")
+        if mdhd is not None:
+            q, qe = mdhd
+            mver = data[q]
+            if mver == 1:              # ctime8 mtime8 tscale4 dur8
+                if q + 32 > qe:
+                    raise ValueError("truncated mdhd box")
+                tscale = int.from_bytes(data[q + 20:q + 24], "big")
+                dur = int.from_bytes(data[q + 24:q + 32], "big")
+            else:                      # ctime4 mtime4 tscale4 dur4
+                if q + 20 > qe:
+                    raise ValueError("truncated mdhd box")
+                tscale = int.from_bytes(data[q + 12:q + 16], "big")
+                dur = int.from_bytes(data[q + 16:q + 20], "big")
+            if tscale:
+                duration_ms = int(dur * 1000 / tscale)
+        minf = _find_box(data, *mdia, b"minf")
+        stbl = _find_box(data, *minf, b"stbl") if minf else None
+        stts = _find_box(data, *stbl, b"stts") if stbl else None
+        if stts is not None:
+            q, qe = stts
+            if q + 8 > qe:
+                raise ValueError("truncated stts box")
+            n_entries = int.from_bytes(data[q + 4:q + 8], "big")
+            if q + 8 + 8 * n_entries > qe:
+                raise ValueError("truncated stts entries")
+            n_frames = sum(
+                int.from_bytes(data[q + 8 + 8 * i:
+                                    q + 12 + 8 * i], "big")
+                for i in range(n_entries))
+        if n_frames is None:
+            raise ValueError("visual trak missing stts")
+        return w, h, n_frames, duration_ms
+    raise ValueError("MP4 has no visual track")
+
+
 def real_decode(payload: bytes, kind: str):
     """-> (width, height, n_frames, feature) using the stdlib codecs;
     raises NotImplementedError for formats without one (MP4, ...)."""
@@ -349,6 +464,9 @@ def real_decode(payload: bytes, kind: str):
     if fmt == "webp":
         w, h = webp_dimensions(payload)
         return w, h, 1, None          # dims only: no stdlib VP8 DCT
+    if fmt == "mp4":
+        w, h, nf, _dur = mp4_metadata(payload)
+        return w, h, nf, None         # dims only: no stdlib H.26x
     raise NotImplementedError(
         f"no stdlib decoder for format={fmt!r} kind={kind!r} "
-        "(MP4 needs ffmpeg — plug in here on a real cluster)")
+        "(plug PIL/ffmpeg in here on a real cluster)")

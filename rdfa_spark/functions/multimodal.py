@@ -9,9 +9,10 @@ as Arrow-batched ``mapInPandas`` stages.  Decoders:
   UDF signature) for any payload;
 * ``decoder="real"`` — the pure-stdlib codecs in ``codecs.py``: PNG
   full pixel decode + 4x4 luminance-grid feature, WAV full sample
-  decode + 16-bin RMS feature, JPEG/GIF dimensions; formats with no
-  stdlib codec (MP4, WEBP, ...) raise NotImplementedError at the
-  decode site — swap in PIL/ffmpeg there on a real cluster.
+  decode + 16-bin RMS feature, JPEG/GIF/WebP/MP4 dims-level metadata
+  (MP4 via the ISO-BMFF box walk: dims, frame count, duration);
+  formats the sniffer can't identify raise NotImplementedError at
+  the decode site — swap in PIL/ffmpeg there on a real cluster.
 """
 
 from __future__ import annotations
@@ -61,8 +62,8 @@ def extract_features(assets: DataFrame,
     """binary assets -> (dims, frame count, feature vector).
 
     ``on_unsupported`` governs the real decoder's behaviour on
-    formats with no stdlib codec (MP4, WEBP, ...): ``"raise"`` keeps
-    the honest-stub failure; ``"skip"`` drops the row but counts it
+    formats the sniffer can't identify: ``"raise"`` keeps the
+    honest-stub failure; ``"skip"`` drops the row but counts it
     in the ``result.skipped_assets`` accumulator — skipped work is
     always measurable, never silent (the ``extract_all`` discipline).
     Null payloads are counted under the same accumulator."""

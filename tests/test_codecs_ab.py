@@ -198,3 +198,108 @@ def test_wav_vectorized_bit_equal_scalar():
         seg = mono[i * n // 16:(i + 1) * n // 16]
         want = math.sqrt(sum(s * s for s in seg) / len(seg)) / 32768.0
         assert rms[i] == want, i
+
+
+# ---------------------------------------------------------------------------
+# MP4 ISO-BMFF metadata (stdlib box walk vs hand-laid-out fixtures)
+# ---------------------------------------------------------------------------
+
+def _box(typ: bytes, payload: bytes, largesize: bool = False) -> bytes:
+    import struct
+    if largesize:
+        return (struct.pack(">I", 1) + typ
+                + struct.pack(">Q", 16 + len(payload)) + payload)
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _tkhd(w: int, h: int, version: int = 0) -> bytes:
+    import struct
+    head = bytes([version]) + b"\x00\x00\x07"
+    fixed = (b"\x00" * 32) if version == 1 else (b"\x00" * 20)
+    mid = b"\x00" * 8 + b"\x00" * 2 * 4 + b"\x00" * 36
+    dims = struct.pack(">II", w << 16, h << 16)
+    return _box(b"tkhd", head + fixed + mid + dims)
+
+
+def _mdhd(timescale: int, duration: int, version: int = 0) -> bytes:
+    import struct
+    if version == 1:
+        body = (b"\x01\x00\x00\x00" + b"\x00" * 16
+                + struct.pack(">IQ", timescale, duration)
+                + b"\x55\xc4\x00\x00")
+    else:
+        body = (b"\x00" * 4 + b"\x00" * 8
+                + struct.pack(">II", timescale, duration)
+                + b"\x55\xc4\x00\x00")
+    return _box(b"mdhd", body)
+
+
+def _stts(entries: list[tuple[int, int]]) -> bytes:
+    import struct
+    body = b"\x00" * 4 + struct.pack(">I", len(entries))
+    for count, delta in entries:
+        body += struct.pack(">II", count, delta)
+    return _box(b"stts", body)
+
+
+def _make_mp4(w=640, h=360, frames=((24, 512), (6, 256)),
+              timescale=12800, duration=12800 * 5,
+              tkhd_version=0, mdhd_version=0, with_audio=True,
+              moov_largesize=False) -> bytes:
+    """Minimal valid ISO-BMFF file laid out by hand from the public
+    ISO/IEC 14496-12 spec: ftyp + moov{[audio trak,] video trak}."""
+    vtrak = _box(b"trak", _tkhd(w, h, tkhd_version) + _box(
+        b"mdia", _mdhd(timescale, duration, mdhd_version) + _box(
+            b"minf", _box(b"stbl", _stts(list(frames))))))
+    traks = b""
+    if with_audio:
+        # audio track first: zero tkhd dims, must be skipped
+        traks += _box(b"trak", _tkhd(0, 0) + _box(
+            b"mdia", _mdhd(48000, 48000) + _box(
+                b"minf", _box(b"stbl", _stts([(100, 1024)])))))
+    traks += vtrak
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2mp41")
+    return ftyp + _box(b"moov", traks, largesize=moov_largesize)
+
+
+def test_mp4_metadata_box_walk():
+    """Dims from the visual trak's tkhd (16.16 fixed), frame count
+    from stts, duration from mdhd — audio trak (zero dims) skipped."""
+    from rdfa_spark.functions.codecs import (mp4_metadata, real_decode,
+                                             sniff_format)
+    data = _make_mp4()
+    assert sniff_format(data) == "mp4"
+    w, h, nf, dur = mp4_metadata(data)
+    assert (w, h) == (640, 360)
+    assert nf == 30                      # 24 + 6 stts sample counts
+    assert dur == 5000                   # 5 s at timescale 12800
+    assert real_decode(data, "video") == (640, 360, 30, None)
+
+
+def test_mp4_metadata_v1_and_largesize():
+    """64-bit version-1 tkhd/mdhd layouts and a largesize moov box."""
+    from rdfa_spark.functions.codecs import mp4_metadata
+    data = _make_mp4(w=1920, h=1080, frames=((300, 512),),
+                     timescale=30000, duration=30000 * 10,
+                     tkhd_version=1, mdhd_version=1,
+                     with_audio=False, moov_largesize=True)
+    assert mp4_metadata(data) == (1920, 1080, 300, 10000)
+
+
+def test_mp4_malformed_raises_valueerror():
+    """Truncated/garbage ISO-BMFF raises ValueError (the truncated-PNG
+    contract), never a silent partial answer."""
+    import pytest
+    from rdfa_spark.functions.codecs import mp4_metadata
+    with pytest.raises(ValueError):
+        mp4_metadata(b"\x00\x00\x00 ftypmp42")        # box past EOF
+    with pytest.raises(ValueError):
+        mp4_metadata(_make_mp4()[:60])                # truncated moov
+    no_moov = _box(b"ftyp", b"isom\x00\x00\x02\x00")
+    with pytest.raises(ValueError):
+        mp4_metadata(no_moov)
+    # audio-only file: no visual track to report
+    audio_only = (_box(b"ftyp", b"isom\x00\x00\x02\x00")
+                  + _box(b"moov", _box(b"trak", _tkhd(0, 0))))
+    with pytest.raises(ValueError):
+        mp4_metadata(audio_only)

@@ -306,10 +306,17 @@ def test_real_decoder_through_spark(spark):
     assert (got["img1"].width, got["img1"].height) == (8, 8)
     assert got["img1"].feature[0] == 1.0
     assert got["aud1"].width == 8000 and got["aud1"].n_frames == 1600
+    # mp4 dims/frames decode for real via the ISO-BMFF box walk
+    from test_codecs_ab import _make_mp4
+    vid = spark.createDataFrame(
+        [("vid1", "video", bytearray(_make_mp4()), "video/mp4")],
+        "asset_id string, kind string, payload binary, mime string")
+    v = extract_features(vid, decoder="real").collect()[0]
+    assert (v.width, v.height, v.n_frames) == (640, 360, 30)
     # unknown format still raises through the job
     bad = spark.createDataFrame(
-        [("vid1", "video", bytearray(b"\x00\x00\x00 ftypmp42xx"),
-          "video/mp4")],
+        [("vid2", "video", bytearray(b"NOTAFORMAT_echo_xx"),
+          "video/x-msvideo")],
         "asset_id string, kind string, payload binary, mime string")
     with pytest.raises(Exception, match="NotImplementedError|stdlib"):
         extract_features(bad, decoder="real").collect()
@@ -381,12 +388,14 @@ def test_multimodal_skip_metrics(spark):
     silently skipping (VERDICT r2 next-round #8)."""
     from rdfa_spark.functions.multimodal import (extract_features,
                                                  resize_images)
+    from test_codecs_ab import _make_mp4
     png = _make_png([[(9, 9, 9)] * 4] * 4)
     rows = [("img1", "image", bytearray(png), "image/png"),
             ("gif1", "image", bytearray(b"GIF89a\x02\x00\x02\x00xxx"),
              "image/gif"),
-            ("vid1", "video", bytearray(b"\x00\x00\x00 ftypmp42"),
-             "video/mp4"),
+            ("vid1", "video", bytearray(_make_mp4()), "video/mp4"),
+            ("avi1", "video", bytearray(b"NOTAFORMAT_avi_xx"),
+             "video/x-msvideo"),
             ("nul1", "image", None, "image/png")]
     df = spark.createDataFrame(
         rows, "asset_id string, kind string, payload binary, "
@@ -398,8 +407,10 @@ def test_multimodal_skip_metrics(spark):
 
     feats = extract_features(df, decoder="real", on_unsupported="skip")
     got = {r.asset_id for r in feats.collect()}
-    assert got == {"img1", "gif1"}           # gif dims-only still decodes
-    assert feats.skipped_assets.value == 2   # mp4 + null payload
+    # gif dims-only decodes; mp4 dims/frames decode via the ISO-BMFF
+    # box walk (no longer a skipped format)
+    assert got == {"img1", "gif1", "vid1"}
+    assert feats.skipped_assets.value == 2   # unknown avi + null payload
 
 
 def test_ann_recall_gates(spark):
