@@ -46,11 +46,17 @@ class ProcessingInstruction:
 
 
 class Element:
-    __slots__ = ("tag", "attrs", "children", "parent", "_nsmap_cache")
+    __slots__ = ("tag", "localname", "attrs", "children", "parent",
+                 "_nsmap_cache")
 
     def __init__(self, tag: str, attrs: dict[str, str] | None = None,
                  parent: "Element | None" = None):
         self.tag = tag
+        # localname is read several times per element on the walker's
+        # hot path; tag never mutates, so precompute it (plain slot
+        # access beats a property call)
+        self.localname = (tag if ":" not in tag
+                          else tag.split(":", 1)[1])
         self.attrs: dict[str, str] = attrs or {}
         self.children: list = []
         self.parent = parent
@@ -62,12 +68,6 @@ class Element:
         if ":" in self.tag:
             return self.tag.split(":", 1)[0]
         return None
-
-    @property
-    def localname(self) -> str:
-        if ":" in self.tag:
-            return self.tag.split(":", 1)[1]
-        return self.tag
 
     # -- namespaces -------------------------------------------------
     def nsmap(self) -> dict[str | None, str]:
@@ -117,7 +117,11 @@ class Element:
                 yield from c.iter_elements()
 
     def has_descendant_elements(self) -> bool:
-        return any(True for _ in self.iter_elements())
+        # any child Element IS a descendant — no recursion needed
+        for c in self.children:
+            if isinstance(c, Element):
+                return True
+        return False
 
     def itertext(self):
         """All descendant text in document order.
@@ -154,14 +158,19 @@ class Element:
 
 
 class Document:
-    __slots__ = ("root", "parse_warnings")
+    __slots__ = ("root", "parse_warnings", "saw_base")
 
     def __init__(self, root: Element,
-                 parse_warnings: list[str] | None = None):
+                 parse_warnings: list[str] | None = None,
+                 saw_base: bool | None = None):
         self.root = root
         # Non-fatal parse recoveries (e.g. unknown entity dropped),
         # surfaced into the processor graph by the extraction layer.
         self.parse_warnings: list[str] = parse_warnings or []
+        # False => the builder proved no <base> element exists, so the
+        # walker's whole-document <base href> scan (Parser.pm:146-160)
+        # can be skipped; None (hand-built documents) => unknown, scan.
+        self.saw_base = saw_base
 
     def iter_elements(self):
         if self.root is not None:
@@ -224,10 +233,15 @@ class _XmlBuilder:
     def __init__(self):
         self.root: Element | None = None
         self.stack: list[Element] = []
+        self.saw_base = False
 
     def start(self, name, attrs):
-        el = Element(name, dict(attrs),
+        # expat builds a fresh dict per StartElementHandler call —
+        # safe to take ownership without copying
+        el = Element(name, attrs,
                      self.stack[-1] if self.stack else None)
+        if el.localname == "base":
+            self.saw_base = True
         if self.stack:
             self.stack[-1].children.append(el)
         elif self.root is None:
@@ -292,7 +306,7 @@ def parse_xml(markup: bytes | str) -> Document:
     p.Parse(markup, True)
     if b.root is None:
         raise xml.parsers.expat.ExpatError("no root element")
-    return Document(b.root, warnings)
+    return Document(b.root, warnings, saw_base=b.saw_base)
 
 
 # ---------------------------------------------------------------------------
@@ -431,6 +445,7 @@ class _SoupBuilder(HTMLParser):
         # (every push/pop/replace below keeps it in sync; pinned by
         # the tree battery's invariant check)
         self._stack_ids: set[int] = set()
+        self.saw_base = False
 
     def parse_marked_section(self, i, report=1):
         # _markupbase raises AssertionError on an unknown (or
@@ -571,6 +586,9 @@ class _SoupBuilder(HTMLParser):
         # none of the implied-end / table / formatting machinery —
         # reconstruct-if-needed, insert, push.  _PLAIN_START is the
         # complement of every tag any branch below special-cases.
+        if "base" in tag and (tag == "base"
+                              or tag.endswith(":base")):
+            self.saw_base = True
         stack = self.stack
         if (tag not in _NONPLAIN_START and stack
                 and stack[-1].tag not in _TABLE_CTX):
@@ -683,6 +701,9 @@ class _SoupBuilder(HTMLParser):
             self.afe.append(_MARKER)
 
     def handle_startendtag(self, tag, attrs):
+        if "base" in tag and (tag == "base"
+                              or tag.endswith(":base")):
+            self.saw_base = True
         if tag == "html":
             self.handle_starttag(tag, attrs)
             return
@@ -945,7 +966,7 @@ def _finish_soup(b: _SoupBuilder) -> Document:
     # so the head/body and <time> rules see the expected namespace.
     if "xmlns" not in b.root.attrs:
         b.root.attrs["xmlns"] = XHTML_NS
-    return Document(b.root)
+    return Document(b.root, saw_base=b.saw_base)
 
 
 def parse_html(markup: bytes | str) -> Document:

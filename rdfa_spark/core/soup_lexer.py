@@ -130,7 +130,9 @@ def feed_events(builder, markup: str) -> None:  # noqa: C901
             emit_text(i, n)
             break
 
-        if _STARTTAG_OPEN.match(markup, i):
+        nxt_ch = markup[i + 1:i + 2]
+        if "a" <= nxt_ch <= "z" or "A" <= nxt_ch <= "Z":
+            # == _STARTTAG_OPEN.match (r'<[a-zA-Z]'), sans regex cost
             # --- parse_starttag + check_for_whole_start_tag -------
             m = locatestarttagend_tolerant.match(markup, i)
             j = m.end()
@@ -168,7 +170,7 @@ def feed_events(builder, markup: str) -> None:  # noqa: C901
                 elif attrvalue[:1] == "'" == attrvalue[-1:] or \
                         attrvalue[:1] == '"' == attrvalue[-1:]:
                     attrvalue = attrvalue[1:-1]
-                if attrvalue:
+                if attrvalue and "&" in attrvalue:
                     attrvalue = unescape(attrvalue)
                 attrs.append((attrname.lower(), attrvalue))
                 k = am.end()

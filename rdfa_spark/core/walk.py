@@ -208,14 +208,23 @@ class Walker:
                 self.config = make_config(config.host, guessed)
 
         # <base href> fixup: last one wins, fragment stripped
-        # (Parser.pm:146-160)
-        if self.config.xhtml_base and doc.root is not None:
+        # (Parser.pm:146-160).  The whole-document scan is skipped
+        # when the DOM builder proved no <base> element exists
+        # (doc.saw_base is False) — the common case on crawl pages;
+        # hand-built Documents leave saw_base None and still scan.
+        if self.config.xhtml_base and doc.root is not None \
+                and getattr(doc, "saw_base", None) is not False:
             found = None
             for el in doc.iter_elements():
                 if el.localname == "base" and el.has("href"):
                     found = el.get("href").split("#", 1)[0]
             if found:
                 self.base_uri = self.uri(found)
+
+        # the element fast path is sound only without an attribute
+        # namespace (ODF) or named-graph scanning; constant per walk
+        cfg = self.config
+        self._plain_cfg_ok = cfg.ns is None and not cfg.graph
 
     # ------------------------------------------------------------------
     def log_error(self, level: str, code: str, message: str):
@@ -424,19 +433,18 @@ class Walker:
         "datetime", "value", "version", "graph",
     ))
 
+    _PLAIN_EXCLUDED_TAGS = frozenset(
+        ("head", "body", "feed", "entry", "RDF", "time"))
+
     def _is_plain_element(self, el: Element) -> bool:
         """True if the element can take the fast path (common case on
-        real web pages: class/style/id-only markup soup)."""
-        cfg = self.config
-        if cfg.ns is not None or cfg.graph:
-            return False
+        real web pages: class/style/id-only markup soup).  Callers
+        must have checked ``self._plain_cfg_ok`` (no attribute ns, no
+        named-graph scanning) — constant per walk, hoisted out."""
         for k in el.attrs:
             if k in self._RELEVANT_ATTRS or k.startswith("xml"):
                 return False    # covers xmlns*, xml:lang, xml:base
-        ln = el.localname
-        if ln in ("head", "body", "feed", "entry", "RDF", "time"):
-            return False
-        return True
+        return el.localname not in self._PLAIN_EXCLUDED_TAGS
 
     _LEAF_LINK_TAGS = frozenset(("a", "link", "img", "area"))
 
@@ -468,7 +476,6 @@ class Walker:
     # ------------------------------------------------------------------
     def _consume_element(self, el: Element, ctx: _Ctx) -> bool:
         cfg = self.config
-        self._cur_element = el
 
         # Fast path is only sound when the slow path's list-mapping
         # reset (Parser.pm:1517-1526) would NOT fire: a skip element
@@ -476,16 +483,35 @@ class Walker:
         # exactly when parent_object is set and differs from
         # parent_subject — take the slow path there so @inlist
         # descendants attach their lists to the right owner.
-        if el.parent is not None and self._is_plain_element(el) \
+        #
+        # Plain elements change nothing in the evaluation context, so
+        # an entire plain subtree shares ``ctx`` — walk it with one
+        # iterative pre-order DFS instead of one Python frame per
+        # element (the walker's #1 hotspot at corpus scale).  Document
+        # order is preserved: bnode numbering depends on it.
+        if self._plain_cfg_ok and el.parent is not None \
                 and (ctx.parent_object is None
-                     or ctx.parent_object == ctx.parent_subject):
+                     or ctx.parent_object == ctx.parent_subject) \
+                and self._is_plain_element(el):
             flag = False
-            for kid in el.children:
-                if kid.__class__ is Element:
-                    flag = self._consume_element(kid, ctx) or flag
+            plain = self._is_plain_element
+            consume = self._consume_element
+            stack = [iter(el.children)]
+            pop = stack.pop
+            push = stack.append
+            while stack:
+                for kid in stack[-1]:
+                    if kid.__class__ is Element:
+                        if plain(kid):
+                            push(iter(kid.children))
+                            break
+                        flag = consume(kid, ctx) or flag
+                else:
+                    pop()
             return flag
-        if el.parent is not None and cfg.ns is None \
-                and not cfg.graph and self._is_leaf_link(el, ctx):
+        self._cur_element = el
+        if el.parent is not None and self._plain_cfg_ok \
+                and self._is_leaf_link(el, ctx):
             return False    # bare leaf link: nothing observable
 
         # hot path: RDFa attributes are unprefixed unless the host
