@@ -44,6 +44,28 @@ CASES = {
     # plausible dense soup
     "dense_soup": ("<p><b><i>x</p></i>" "<table><td>y"
                    "<a href=# rel=next>z") * (KB * 20),
+    # -- adoption-agency / AFE stress (full-WHATWG builder paths;
+    # cost lives in the shared _SoupBuilder, so fast-vs-stdlib reads
+    # ~1.0 — the absolute KB/s is the regression pin).  Distinct
+    # attributes defeat Noah's Ark; _AFE_SEGMENT_CAP bounds the
+    # reconstruction clone storm to O(cap) per text node.
+    "aaa_distinct_attr_reconstruct":
+        "".join(f"<b a{i}=1>x</p><p>" for i in range(4000)),
+    # every misnested </b> runs the full adoption agency
+    "aaa_misnest_blocks":
+        ("<b><i><u><s><em><strong><small><code><div>" * 600
+         + "</b>" * 600),
+    # fostered text reconstructs formatting at the foster point
+    "aaa_fostered_text_fmt":
+        "<table>" + "".join(f"<b f{i}=1>y" for i in range(4000)),
+    # cell boundaries insert AFE markers; formatting never leaks
+    "aaa_cell_markers":
+        "".join(f"<table><td><b m{i}=1>z</td></table>"
+                for i in range(2500)),
+    # the <a>-in-AFE rule triggers adoption on every nested <a>
+    "aaa_nested_anchors":
+        "".join(f"<a href={i}><div><a href=x{i}>t</a></div></a>"
+                for i in range(2000)),
 }
 
 
