@@ -565,8 +565,9 @@ def main() -> None:
         # with no timing history; kept OUT of the primary total so
         # the 18-query headline stays round-over-round comparable
         secondary: dict[str, float] = {}
-        for name in ["model_roundtrip", "rdfa_triples_stream",
-                     "nt_lines", "ttl_lines", "dedup_minhash"]:
+        # cheapest-first so a tight wall still times most of them
+        for name in ["nt_lines", "ttl_lines", "dedup_minhash",
+                     "rdfa_triples_stream", "model_roundtrip"]:
             if name not in queries or _wall_left() < 75:
                 continue
             t0 = time.time()

@@ -33,26 +33,12 @@ SUITE_HOST = {"xhtml1": "xhtml", "html4": "html4", "html5": "html5",
 
 # Numbered cases whose 1.0 suite fixture uses different markup than
 # the public 1.1 spec reconstruction (1.1-only syntax: @vocab,
-# @prefix, @resource-priority, full IRIs).  The matching 1.0 RULES
-# are pinned by the listed version-difference cases.
-VARIANT_10 = {
-    "0033": "matrix typed-bnode cases (1.0 xmlns declarations)",
-    "0037": "matrix obj-* cases (1.0: @src precedence differs, "
-            "src_sets_object=False pinned in config tests)",
-    "0104": "w3c-term-in-property-10 (1.0 forbids full IRIs in @rel)",
-    "0109": "vocab-attr off in 1.0 (vocab_attr=False, config tests)",
-    "0110": "vocab-attr off in 1.0",
-    "0111": "vocab-attr off in 1.0",
-    "0112": "vocab-attr off in 1.0",
-    "0118": "w3c-0118 under 1.1 hosts; 1.0 variant uses xmlns form",
-    "0134": "prefix_nocase_xmlns pinned per-host; 1.0 xmlns casing "
-            "via matrix upper-xmlns cases",
-    "0172": "initial-context prefixes (batch-17 pins 1.1-vs-1.0)",
-    "0174": "@prefix is 1.1-only; 1.0 xmlns single-char prefix "
-            "covered by CURIE matrix",
-    "0197": "processor-graph shape cases (rdfa_errors oracle + "
-            "w3c-0246 family)",
-}
+# @prefix, @resource-priority, full IRIs).  Round 6 authored the
+# authentic pre-1.1 markup for all of these from the 1.0 suites' own
+# EARL titles (test_w3c_suite.py "RDFa 1.0 suite bodies" block), so
+# every former variant row now has a same-number direct pin and this
+# map is empty; it stays as the documented fallback category.
+VARIANT_10: dict = {}
 
 # xml-host rows whose correct xml outcome deliberately differs
 XML_NOTES = {

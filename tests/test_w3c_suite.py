@@ -3658,3 +3658,163 @@ w3c("0258", "1.0: the underscore is not a usable xmlns prefix "
     [T(B + "#a", DC + "title", "ctl", True)],
     absent=[T(B + "#a", "http://example.org/u#pred", "x", True)],
     combos=COMBOS_10)
+
+
+# ---------------------------------------------------------------------------
+# RDFa 1.0 suite bodies for numbers whose 1.0 fixture differs from
+# the 1.1 reconstruction (VERDICT r5 #4: the "variant" EARL rows).
+# Each case is authored to the 1.0 suite's OWN dc:title (the
+# reference's EARL files, meta/earl/*-rdfa10-tests.ttl — the titles
+# are the authoritative anchor) using pre-1.1 markup: xmlns:
+# declarations only, no @prefix/@vocab, 1.0 attribute grammars.
+# ---------------------------------------------------------------------------
+
+# 0033 (1.0) "simple chaining test with bNode": hanging @rel, the
+# child's @property completes it against the generated bnode
+for _h, _v in COMBOS_10:
+    CASES.append(Case(
+        f"w3c-0033/{_h}+1.0",
+        "1.0: simple chaining test with bNode",
+        _h, _v,
+        doc('<div about="" rel="dc:creator">'
+            '<span property="foaf:name">Manu Sporny</span></div>',
+            _h, _v),
+        [T(B, DC + "creator", "?b"),
+         T("?b", FOAF + "name", "Manu Sporny", True)]))
+
+# 0037 (1.0) "@src/@href/@resource test": @src is the SUBJECT in
+# 1.0 (src_sets_object=False) and @resource beats @href as object
+for _h, _v in COMBOS_10:
+    CASES.append(Case(
+        f"w3c-0037/{_h}+1.0",
+        "1.0: @src subject; @resource beats @href as object",
+        _h, _v,
+        doc('<img src="photo1.jpg" rel="dc:creator" '
+            'resource="manu.html" href="other.html"/>', _h, _v),
+        [T("http://example.com/photo1.jpg", DC + "creator",
+           "http://example.com/manu.html")],
+        absent=[T(None, DC + "creator",
+                  "http://example.com/other.html")]))
+
+# 0104 (1.0) "rdf:value": the rdf: xmlns mapping expands the value
+# term; the hanging @rel's bnode carries it
+for _h, _v in COMBOS_10:
+    CASES.append(Case(
+        f"w3c-0104/{_h}+1.0", "1.0: rdf:value via xmlns:rdf",
+        _h, _v,
+        doc('<div about="#s" rel="dc:relation">'
+            '<span property="rdf:value">10</span>'
+            '</div>', _h, _v,
+            extra=f'xmlns:rdf="{RDF}"'),
+        [T(B + "#s", DC + "relation", "?b"),
+         T("?b", RDF + "value", "10", True)]))
+
+# 0109 (1.0) "Tests to ensure @xml:base is ignored": (x)html hosts
+# take their base from the document URI / <base href>, never from
+# @xml:base (Config xml_base=0 for these hosts)
+for _h, _v in COMBOS_10:
+    CASES.append(Case(
+        f"w3c-0109/{_h}+1.0", "1.0: @xml:base is ignored",
+        _h, _v,
+        doc('<div xml:base="http://other.example.org/base/">'
+            '<p about="rel.html" property="dc:title">T</p></div>',
+            _h, _v),
+        [T("http://example.com/rel.html", DC + "title", "T", True)],
+        absent=[T("http://other.example.org/base/rel.html",
+                  DC + "title", "T", True)]))
+
+# 0110 (1.0) "bNode generated even though no nested @about exists"
+for _h, _v in COMBOS_10:
+    CASES.append(Case(
+        f"w3c-0110/{_h}+1.0",
+        "1.0: hanging @rel generates a bnode without nested @about",
+        _h, _v,
+        doc('<div rel="dc:creator">'
+            '<span property="foaf:name">Manu</span></div>', _h, _v),
+        [T(B, DC + "creator", "?b"),
+         T("?b", FOAF + "name", "Manu", True)]))
+
+# 0111 (1.0) "two bNodes generated after three levels of nesting"
+for _h, _v in COMBOS_10:
+    CASES.append(Case(
+        f"w3c-0111/{_h}+1.0",
+        "1.0: two bnodes across three nesting levels",
+        _h, _v,
+        doc('<div rel="dc:creator"><div rel="foaf:knows">'
+            '<span property="foaf:name">Ivan</span></div></div>',
+            _h, _v),
+        [T(B, DC + "creator", "?b1"),
+         T("?b1", FOAF + "knows", "?b2"),
+         T("?b2", FOAF + "name", "Ivan", True)]))
+
+# 0112 (1.0) 'plain literal with datatype=""'
+for _h, _v in COMBOS_10:
+    CASES.append(Case(
+        f"w3c-0112/{_h}+1.0", '1.0: datatype="" forces plain literal',
+        _h, _v,
+        doc('<span about="#s" property="dc:title" datatype="">10'
+            '</span>', _h, _v),
+        [T(B + "#s", DC + "title", "10", True)],
+        absent=[T(B + "#s", DC + "title", "10", True,
+                  dt=XSD + "string")]))
+
+# 0118 (1.0) 'empty string "" is not equivalent to NULL - @about':
+# about="" resolves to the base, it does not fall through to the
+# parent subject
+for _h, _v in COMBOS_10:
+    CASES.append(Case(
+        f"w3c-0118/{_h}+1.0", '1.0: about="" means base, not NULL',
+        _h, _v,
+        doc('<div about="#other"><p about="" '
+            'property="dc:title">T</p></div>', _h, _v),
+        [T(B, DC + "title", "T", True)],
+        absent=[T(B + "#other", DC + "title", "T", True)]))
+
+# 0134 (xhtml+1.0) "Uppercase reserved words": XHTML link types in
+# @rel match case-insensitively
+CASES.append(Case(
+    "w3c-0134/xhtml+1.0", "1.0: uppercase reserved word in @rel",
+    "xhtml", "1.0",
+    doc('<a about="#s" rel="LICENSE" href="license.html">x</a>',
+        "xhtml", "1.0"),
+    [T(B + "#s", XHV + "license",
+       "http://example.com/license.html")]))
+
+# 0172 (xhtml+1.0) '@datatype="" generates plain literal in
+# presence of child nodes' (no XMLLiteral promotion)
+CASES.append(Case(
+    "w3c-0172/xhtml+1.0",
+    '1.0: datatype="" plain literal despite child markup',
+    "xhtml", "1.0",
+    doc('<span about="#s" property="dc:title" datatype="">A <b>B</b>'
+        ' C</span>', "xhtml", "1.0"),
+    [T(B + "#s", DC + "title", "A B C", True)],
+    absent=[T(B + "#s", DC + "title", None, True,
+              dt=RDF + "XMLLiteral")]))
+
+# 0174 (1.0) "Support single character prefix in CURIEs" via xmlns
+for _h, _v in COMBOS_10:
+    CASES.append(Case(
+        f"w3c-0174/{_h}+1.0", "1.0: single-character xmlns prefix",
+        _h, _v,
+        doc('<p about="#s" property="q:name">T</p>', _h, _v,
+            extra=f'xmlns:q="{EX}"'),
+        [T(B + "#s", EX + "name", "T", True)]))
+
+# 0197 (1.0) "Test TERMorCURIEorAbsURI requires an absolute URI":
+# 1.0 @datatype is CURIE-only (full_uris=False) — an absolute URI
+# parses as an undefined 'http' prefix, fails to expand, and the
+# literal stays plain; the declared xsd: CURIE form works
+for _h, _v in COMBOS_10:
+    CASES.append(Case(
+        f"w3c-0197/{_h}+1.0",
+        "1.0: absolute URI in @datatype does not expand (CURIE-only)",
+        _h, _v,
+        doc('<span about="#a" property="dc:title" '
+            f'datatype="{XSD}integer">1</span>'
+            '<span about="#b" property="dc:title" '
+            'datatype="xsd:integer">2</span>', _h, _v),
+        [T(B + "#a", DC + "title", "1", True),
+         T(B + "#b", DC + "title", "2", True, dt=XSD + "integer")],
+        absent=[T(B + "#a", DC + "title", "1", True,
+                  dt=XSD + "integer")]))
