@@ -190,3 +190,90 @@ class TestNamedGraphs:
         hits = [t for t in self.w.triples
                 if t.pred == "http://purl.org/dc/terms/title"]
         assert hits and hits[0].graph is None
+
+
+class TestSawBaseFastPath:
+    """Document.saw_base gates the walker's whole-document <base>
+    scan (round-6 fast path); these pin that every construction
+    route still honors <base href> — including awkward placements —
+    and that hand-built Documents (saw_base=None) keep scanning."""
+
+    BASE = "http://example.com/page"
+
+    def _triples(self, markup, parser="html"):
+        cfg = make_config("html5" if parser == "html" else "xhtml",
+                          "1.1")
+        return parse_rdfa(markup, self.BASE, cfg).triples
+
+    def test_soup_base_honored(self):
+        ts = self._triples(
+            '<html><head><base href="http://other.example/dir/">'
+            '</head><body><p about="x" property="dc:title" '
+            'xmlns:dc="http://purl.org/dc/elements/1.1/">T</p>'
+            '</body></html>')
+        assert any(t.subj == "http://other.example/dir/x"
+                   for t in ts)
+
+    def test_soup_base_fostered_out_of_table(self):
+        # <base> opened inside a table gets foster-parented; the
+        # builder must still mark saw_base so the scan runs
+        ts = self._triples(
+            '<html><body><table><base '
+            'href="http://other.example/dir/"><tr><td>'
+            '<p about="x" property="dc:title" '
+            'xmlns:dc="http://purl.org/dc/elements/1.1/">T</p>'
+            '</td></tr></table></body></html>')
+        assert any(t.subj == "http://other.example/dir/x"
+                   for t in ts)
+
+    def test_soup_no_base_uses_document_uri(self):
+        ts = self._triples(
+            '<html><body><p about="x" property="dc:title" '
+            'xmlns:dc="http://purl.org/dc/elements/1.1/">T</p>'
+            '</body></html>')
+        assert any(t.subj == "http://example.com/x" for t in ts)
+
+    def test_xml_prefixed_base_tag(self):
+        # expat keeps raw names; a prefixed xhtml:base still counts
+        markup = ('<x:html xmlns:x="http://www.w3.org/1999/xhtml" '
+                  'xmlns:dc="http://purl.org/dc/elements/1.1/">'
+                  '<x:head><x:base href="http://other.example/d/"/>'
+                  '</x:head><x:body>'
+                  '<x:p about="y" property="dc:title">T</x:p>'
+                  '</x:body></x:html>')
+        cfg = make_config("xhtml", "1.1")
+        ts = parse_rdfa(markup, self.BASE, cfg).triples
+        assert any(t.subj == "http://other.example/d/y" for t in ts)
+
+    def test_hand_built_document_still_scans(self):
+        # Document(root) without builder provenance: saw_base is
+        # None => the walker must fall back to the full scan
+        from rdfa_spark.core.dom import Document, Element
+        root = Element("html", {
+            "xmlns": "http://www.w3.org/1999/xhtml",
+            "xmlns:dc": "http://purl.org/dc/elements/1.1/"})
+        head = Element("head", {}, root)
+        root.children.append(head)
+        base = Element("base",
+                       {"href": "http://other.example/h/"}, head)
+        head.children.append(base)
+        body = Element("body", {}, root)
+        root.children.append(body)
+        p = Element("p", {"about": "z", "property": "dc:title"},
+                    body)
+        p.children.append("T")
+        body.children.append(p)
+        doc = Document(root)
+        assert doc.saw_base is None
+        from rdfa_spark.core.walk import Walker
+        cfg = make_config("xhtml", "1.1")
+        w = Walker(doc, self.BASE, cfg).consume()
+        assert any(t.subj == "http://other.example/h/z"
+                   for t in w.triples)
+
+    def test_builder_flags(self):
+        from rdfa_spark.core.dom import parse_html, parse_xml
+        assert parse_html("<p>x</p>").saw_base is False
+        assert parse_html("<base href='u'>").saw_base is True
+        assert parse_xml(b"<r><base/></r>").saw_base is True
+        assert parse_xml(b"<r><a/></r>").saw_base is False
