@@ -494,18 +494,27 @@ class Walker:
                      or ctx.parent_object == ctx.parent_subject) \
                 and self._is_plain_element(el):
             flag = False
-            plain = self._is_plain_element
             consume = self._consume_element
+            relevant = self._RELEVANT_ATTRS
+            excluded = self._PLAIN_EXCLUDED_TAGS
             stack = [iter(el.children)]
             pop = stack.pop
             push = stack.append
             while stack:
                 for kid in stack[-1]:
                     if kid.__class__ is Element:
-                        if plain(kid):
-                            push(iter(kid.children))
-                            break
-                        flag = consume(kid, ctx) or flag
+                        # inlined _is_plain_element (hot: once per
+                        # DOM element at corpus scale)
+                        for k in kid.attrs:
+                            if k in relevant or k.startswith("xml"):
+                                flag = consume(kid, ctx) or flag
+                                break
+                        else:
+                            if kid.localname in excluded:
+                                flag = consume(kid, ctx) or flag
+                            else:
+                                push(iter(kid.children))
+                                break
                 else:
                     pop()
             return flag
