@@ -3818,3 +3818,52 @@ for _h, _v in COMBOS_10:
          T(B + "#b", DC + "title", "2", True, dt=XSD + "integer")],
         absent=[T(B + "#a", DC + "title", "1", True,
                   dt=XSD + "integer")]))
+
+
+# ---------------------------------------------------------------------------
+# Batch 26: the last three other-host EARL rows, pinned directly.
+#
+# The reference's svg/xml 1.1 hosts load ONLY the core rdfa-1.1
+# initial context (Config.pm:97,110,184 — empty host overrides), whose
+# term list is describedby/license/role (InitialContext.pm:78-80); the
+# XHTML link-relation terms are NOT defined there.  Its passing
+# xml/0087, xml/0181 (xml-rdfa11-tests.ttl:560,811) and svg/0234
+# (svg-rdfa11-tests.ttl:160) runs therefore exercised the one
+# mechanism that resolves those names host-independently at 1.1: the
+# reserved default prefix ':term' -> xhv (Config.pm:190
+# prefix_default), which is exactly what the 0087 title ("with :xxx")
+# and the 0181 title ("default XHTML vocabulary") describe.
+# ---------------------------------------------------------------------------
+_B26 = {c.id: c for c in CASES}
+
+# 0087 xml+1.1: same ':term' body the html/xhtml combos pin
+_src87 = _B26["w3c-0087/xhtml+1.1"]
+_desc87, _body87, _extra87, _opts87 = W3C_BODIES["0087"]
+CASES.append(Case("w3c-0087/xml+1.1", _desc87 + " (generic xml)",
+                  "xml", "1.1", _xml_doc(_body87, _extra87),
+                  _src87.expect, _src87.absent, opts=_opts87))
+
+# 0181 xml+1.1: 'default XHTML vocabulary' = the reserved ':' prefix
+CASES.append(Case(
+    "w3c-0181/xml+1.1",
+    "default XHTML vocabulary via the reserved ':' prefix "
+    "(generic xml)",
+    "xml", "1.1",
+    _xml_doc('<item about="#a" rel=":next" '
+             'href="http://example.org/n">x</item>'),
+    [T(B + "#a", XHV + "next", "http://example.org/n")]))
+
+# 0234 svg+1.1: the HTML link-relation names in ':term' form (the
+# svg host has no term list; bare 'license' — the one core-context
+# term in the list — stays pinned bare to keep that path exercised)
+CASES.append(Case(
+    "w3c-0234/svg+1.1",
+    "HTML link relation values resolve via the reserved ':' prefix "
+    "(svg)",
+    "svg", "1.1",
+    _svg_doc('<desc about="#a" rel="'
+             + " ".join(":" + t for t in _HTML_RELS_COMMON
+                        if t != "license")
+             + ' license" href="http://example.org/n">x</desc>'),
+    [T(B + "#a", XHV + t, "http://example.org/n")
+     for t in _HTML_RELS_COMMON]))
