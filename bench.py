@@ -565,10 +565,28 @@ def main() -> None:
         # with no timing history; kept OUT of the primary total so
         # the 18-query headline stays round-over-round comparable
         secondary: dict[str, float] = {}
-        # cheapest-first so a tight wall still times most of them
-        for name in ["nt_lines", "ttl_lines", "dedup_minhash",
-                     "rdfa_triples_stream", "model_roundtrip"]:
-            if name not in queries or _wall_left() < 75:
+        # cheapest-first so a tight wall still times most of them;
+        # round 6 widened this to EVERY oracled query (the stream
+        # replay goes last: availableNow micro-batches dominate it)
+        for name in ["token_stats", "doc_fingerprint", "token_bpe",
+                     "minhash_signature", "og_collect", "rdfa_text",
+                     "entity_mentions", "rdfa_errors", "ann_ivf_topk",
+                     "ann_lsh_topk", "bgp_article", "ttl_lines",
+                     "nt_lines", "model_roundtrip", "dedup_minhash",
+                     "rdfa_triples_stream", "event_sessions_stream"]:
+            # headroom tiers: streaming replays run one micro-batch
+            # per input file (minutes); the write/verify-heavy trio
+            # runs ~4-12 s at sf0.1; everything else is a few seconds
+            # — a flat 75 s floor starved the whole table whenever
+            # the redraw pass had used the wall (r6 dry run)
+            if name.endswith("_stream"):
+                need = 180
+            elif name in ("model_roundtrip", "dedup_minhash",
+                          "nt_lines"):
+                need = 120
+            else:
+                need = 40
+            if name not in queries or _wall_left() < need:
                 continue
             t0 = time.time()
             queries[name](spark, SF_DIR).count()
