@@ -547,16 +547,26 @@ def main() -> None:
         if inflated and _wall_left() > 60:
             rd_before = _hw_probe(max(CPUS // 8, 1), 4)
             for name in inflated:
-                if _wall_left() < 1.5 * timings[name] + 30:
-                    break
-                t0 = time.time()
-                if name == "extract_triples":
-                    again = _run_worker(CPUS, REPLICATE)["sec"]
-                else:
-                    queries[name](spark, SF_DIR).count()
-                    again = round(time.time() - t0, 3)
-                redraws[name] = [timings[name], again]
-                timings[name] = min(timings[name], again)
+                # up to TWO re-draws: iterative many-job queries
+                # (CC rounds) can land sticky-slow in one window
+                # (r6 dry run: cc_hot_hub 14.5 -> 13.0 -> clean
+                # elsewhere) while a single extra draw escapes it
+                draws = [timings[name]]
+                for _ in range(2):
+                    if _wall_left() < 1.5 * timings[name] + 30:
+                        break
+                    t0 = time.time()
+                    if name == "extract_triples":
+                        again = _run_worker(CPUS, REPLICATE)["sec"]
+                    else:
+                        queries[name](spark, SF_DIR).count()
+                        again = round(time.time() - t0, 3)
+                    draws.append(again)
+                    timings[name] = min(timings[name], again)
+                    if timings[name] <= 2 * REF_QUERY_SEC[name]:
+                        break
+                if len(draws) > 1:
+                    redraws[name] = draws
             rd_after = _hw_probe(max(CPUS // 8, 1), 4)
             redraw_hw = {"pages_per_sec_4groups_before": rd_before,
                          "pages_per_sec_4groups_after": rd_after}
