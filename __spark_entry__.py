@@ -91,13 +91,17 @@ def q_rdfa_triples_stream(spark: SparkSession,
                           sf_dir: str) -> DataFrame:
     """§2.8 incremental crawl extraction as a GRADED query: the same
     zero-shuffle scan -> mapInArrow chain run as a Structured
-    Streaming job (file source, availableNow, one file per
-    micro-batch), checked against the SAME DuckDB oracle as the
-    batch ``rdfa_triples`` query — batch/stream parity is the
-    oracle.  Extraction is stateless per url, so exactly-once comes
-    from the sink commit log + deterministic per-url output
+    Streaming job (file source, availableNow, three micro-batches),
+    checked against the SAME DuckDB oracle as the batch
+    ``rdfa_triples`` query — batch/stream parity is the oracle.
+    Extraction is stateless per url, so exactly-once comes from the
+    sink commit log + deterministic per-url output
     (streaming/incremental.py; reference is batch-only,
-    Parser.pm:489-544)."""
+    Parser.pm:489-544).  Each micro-batch is WIDE: a file-source
+    micro-batch's task parallelism equals its file count, so one
+    file per trigger would serialize extraction into single-task
+    batches — here (and in a real incremental deployment)
+    ``maxFilesPerTrigger`` is sized to the executor-core count."""
     import os
     import shutil
     import tempfile
@@ -108,12 +112,14 @@ def q_rdfa_triples_stream(spark: SparkSession,
 
     pages = load_pages(spark, sf_dir).select("url", "html")
     src = tempfile.mkdtemp(prefix="extract_stream_")
-    # three part files -> three micro-batches at maxFilesPerTrigger=1
-    pages.repartition(3).write.mode("overwrite").parquet(src)
+    # ~three micro-batches of `width` files each; files-per-trigger
+    # = tasks-per-batch, so width is sized to the session's cores
+    width = max(1, min(spark.sparkContext.defaultParallelism, 32))
+    pages.repartition(3 * width).write.mode("overwrite").parquet(src)
     name = (f"extract_stream_{os.getpid()}_"
             f"{int(_time.time() * 1000) % 10**9}")
     stream = (spark.readStream.schema("url string, html binary")
-              .option("maxFilesPerTrigger", 1).parquet(src))
+              .option("maxFilesPerTrigger", width).parquet(src))
     q = (extract_triples_stream(stream)
          .writeStream.format("memory").queryName(name)
          .outputMode("append").trigger(availableNow=True).start())
