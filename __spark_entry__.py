@@ -420,8 +420,17 @@ def q_event_sessions_stream(spark: SparkSession,
     oracle as the batch window-function query — batch/stream parity
     is the oracle.  Sentinel far-future events (user_id -1) advance
     the watermark so every open session closes via event-time
-    timeout; they are filtered from the result."""
+    timeout; they are filtered from the result.
+
+    The stateful shuffle width is set to 16 for the stream (and
+    restored after): each micro-batch pays state-store open/commit
+    per shuffle partition, so a stateful query's parallelism should
+    be sized to its active-key state volume, not inherited from the
+    relational default — at 64 partitions the same replay measures
+    2x the wall with identical output (state here is O(active
+    users), a few thousand keys)."""
     import os
+    import shutil
     import tempfile
     import time as _time
 
@@ -452,14 +461,26 @@ def q_event_sessions_stream(spark: SparkSession,
               .schema("user_id long, event_id long, ts timestamp")
               .option("maxFilesPerTrigger", 1)
               .parquet(f"{src}/*"))
-    q = (sessionize_stream(stream)
-         .writeStream.format("memory").queryName(name)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    import shutil
-    shutil.rmtree(src, ignore_errors=True)  # results live in the
-    return (spark.table(name)                # memory sink now
-            .filter(F.col("user_id") >= 0)
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (sessionize_stream(stream)
+             .writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        try:
+            # availableNow terminates on its own; a False return
+            # means the host stalled past the budget — grading a
+            # mid-stream memory table would be nondeterministic
+            if not q.awaitTermination(300):
+                raise RuntimeError(
+                    "sess_stream did not drain within 300s")
+        finally:
+            q.stop()                        # no-op if terminated
+            shutil.rmtree(src, ignore_errors=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+    return (spark.table(name)               # memory sink holds
+            .filter(F.col("user_id") >= 0)  # the results now
             .select("user_id", "session_id", "n_events",
                     "start_sec", "end_sec"))
 
