@@ -49,9 +49,20 @@ def sniff_format(payload: bytes) -> str:
         return "wav"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return "webp"
-    if payload[4:8] == b"ftyp":
+    if payload[4:8] == b"ftyp" and payload[8:12] in _MP4_BRANDS:
         return "mp4"
     return "unknown"
+
+
+# ISO-BMFF major brands this decoder actually handles (classic MP4
+# families).  Other ftyp brands — HEIC/AVIF stills, MOV, 3GP,
+# moov-less fragmented-MP4 segments — sniff 'unknown' so
+# extract_features' skip mode routes them to skipped_assets instead
+# of crashing the job on mp4_metadata's ValueError (ADVICE r6).
+_MP4_BRANDS = frozenset([
+    b"isom", b"iso2", b"iso3", b"iso4", b"iso5", b"iso6",
+    b"mp41", b"mp42", b"mp4v", b"avc1", b"M4V ", b"M4A ", b"mmp4",
+])
 
 
 def _unfilter_scalar(line: bytearray, prev: bytes, filt: int, w: int,
@@ -389,6 +400,8 @@ def mp4_metadata(data: bytes):
         if tkhd is None:
             continue
         p, pe = tkhd
+        if p >= pe:                    # empty body (size == header)
+            raise ValueError("truncated tkhd box")
         ver = data[p]
         # after version+flags: v0 ctime/mtime/id/rsvd/duration = 20
         # bytes, v1 = 32; then rsvd(8) layer(2) altgrp(2) volume(2)
@@ -407,6 +420,8 @@ def mp4_metadata(data: bytes):
         mdhd = _find_box(data, *mdia, b"mdhd")
         if mdhd is not None:
             q, qe = mdhd
+            if q >= qe:                # empty body (size == header)
+                raise ValueError("truncated mdhd box")
             mver = data[q]
             if mver == 1:              # ctime8 mtime8 tscale4 dur8
                 if q + 32 > qe:

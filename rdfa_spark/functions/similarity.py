@@ -31,6 +31,18 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def cosine_prenorm(a: Column, b: Column, na: Column,
+                   nb: Column) -> Column:
+    """``cosine`` with the norms precomputed per ROW instead of per
+    candidate PAIR: identical expression tree (dot / (na * nb), same
+    left-to-right folds), so scores are bit-identical — but a
+    candidate generated K times pays one interpreted dot fold, not
+    three (guide §4: hoist loop-invariant work out of the per-pair
+    path).  The norm columns must be built with ``_norm`` on the
+    same vector."""
+    return _dot(a, b) / (na * nb)
+
+
 def _as_double(col: str) -> Column:
     return F.col(col).cast("array<double>")
 
@@ -73,13 +85,16 @@ def cosine_topk(items: DataFrame, queries: DataFrame, k: int = 10,
     fully deterministic result."""
     q = F.broadcast(
         queries.select(F.col(query_id_col),
-                       _as_double(vec_col).alias("_qvec")))
-    it = items.select(F.col(id_col).alias("neighbor_id"),
-                      _as_double(vec_col).alias("_ivec"))
+                       _as_double(vec_col).alias("_qvec"))
+        .withColumn("_qn", _norm(F.col("_qvec"))))
+    it = (items.select(F.col(id_col).alias("neighbor_id"),
+                       _as_double(vec_col).alias("_ivec"))
+          .withColumn("_in", _norm(F.col("_ivec"))))
     scored = (it.crossJoin(q)
               .filter(F.col("neighbor_id") != F.col(query_id_col))
               .select(query_id_col, "neighbor_id",
-                      cosine(F.col("_ivec"), F.col("_qvec"))
+                      cosine_prenorm(F.col("_ivec"), F.col("_qvec"),
+                                     F.col("_in"), F.col("_qn"))
                       .alias("score")))
     w = (Window.partitionBy(query_id_col)
          .orderBy(F.col("score").desc(), F.col("neighbor_id").asc()))
@@ -202,21 +217,24 @@ def lsh_cosine_topk(items: DataFrame, queries: DataFrame, k: int = 10,
     needed (an item lives in exactly one bucket)."""
     it = items.select(F.col(id_col).alias("neighbor_id"),
                       _as_double(vec_col).alias("_ivec")) \
+              .withColumn("_in", _norm(F.col("_ivec"))) \
               .withColumn("sig", lsh_signature(F.col("_ivec"), n_planes,
                                                dim=dim))
     q = queries.select(F.col(query_id_col),
                        _as_double(vec_col).alias("_qvec")) \
+               .withColumn("_qn", _norm(F.col("_qvec"))) \
                .withColumn("sig", lsh_signature(F.col("_qvec"), n_planes,
                                                 dim=dim))
     if multiprobe > 0:
         probe_arr = F.array(*_probe_exprs(F.col("sig"), n_planes,
                                           multiprobe))
-        q = q.select(query_id_col, "_qvec",
+        q = q.select(query_id_col, "_qvec", "_qn",
                      F.explode(probe_arr).alias("sig"))
     scored = (it.join(F.broadcast(q), "sig")
               .filter(F.col("neighbor_id") != F.col(query_id_col))
               .select(query_id_col, "neighbor_id",
-                      cosine(F.col("_ivec"), F.col("_qvec"))
+                      cosine_prenorm(F.col("_ivec"), F.col("_qvec"),
+                                     F.col("_in"), F.col("_qn"))
                       .alias("score")))
     w = (Window.partitionBy(query_id_col)
          .orderBy(F.col("score").desc(), F.col("neighbor_id").asc()))
@@ -314,11 +332,14 @@ def ivf_cosine_topk(items: DataFrame, queries: DataFrame, k: int = 10,
     centroids = F.broadcast(
         items.sparkSession.createDataFrame(
             [(cell, vec) for cell, vec in seeds],
-            "cell int, _cvec array<double>"))
+            "cell int, _cvec array<double>")
+        .withColumn("_cn", _norm(F.col("_cvec"))))
 
-    def assign(df, vec, keep, n_best):
+    def assign(df, vec, norm_col, keep, n_best):
         scored = df.crossJoin(centroids).select(
-            *keep, "cell", cosine(F.col(vec), F.col("_cvec"))
+            *keep, "cell",
+            cosine_prenorm(F.col(vec), F.col("_cvec"),
+                           F.col(norm_col), F.col("_cn"))
             .alias("_cs"))
         w = (Window.partitionBy(*keep)
              .orderBy(F.col("_cs").desc(), F.col("cell").asc()))
@@ -326,15 +347,20 @@ def ivf_cosine_topk(items: DataFrame, queries: DataFrame, k: int = 10,
                 .filter(F.col("_cr") <= n_best)
                 .drop("_cs", "_cr"))
 
-    cells = assign(it, "_ivec", ["neighbor_id", "_ivec"], 1)
+    it = it.withColumn("_in", _norm(F.col("_ivec")))
+    cells = assign(it, "_ivec", "_in",
+                   ["neighbor_id", "_ivec", "_in"], 1)
     q = queries.select(F.col(query_id_col),
-                       _as_double(vec_col).alias("_qvec"))
-    probes = assign(q, "_qvec", [query_id_col, "_qvec"], nprobe)
+                       _as_double(vec_col).alias("_qvec")) \
+               .withColumn("_qn", _norm(F.col("_qvec")))
+    probes = assign(q, "_qvec", "_qn",
+                    [query_id_col, "_qvec", "_qn"], nprobe)
 
     cand = (cells.join(probes, "cell")
             .filter(F.col("neighbor_id") != F.col(query_id_col))
             .select(query_id_col, "neighbor_id",
-                    cosine(F.col("_ivec"), F.col("_qvec"))
+                    cosine_prenorm(F.col("_ivec"), F.col("_qvec"),
+                                   F.col("_in"), F.col("_qn"))
                     .alias("score"))
             .dropDuplicates([query_id_col, "neighbor_id"]))
     w = (Window.partitionBy(query_id_col)
@@ -377,7 +403,8 @@ def embedding_near_dup_pairs(items: DataFrame, threshold: float = 0.95,
     transformations return a new DataFrame without it.  Default
     changed None -> 10_000 in round 3.
     """
-    it = items.select(F.col(id_col), _as_double(vec_col).alias("_v"))
+    it = (items.select(F.col(id_col), _as_double(vec_col).alias("_v"))
+          .withColumn("_n", _norm(F.col("_v"))))
     band_arr = F.array(*[
         F.struct(F.lit(bnd).alias("band_id"),
                  lsh_signature(F.col("_v"), planes_per_band,
@@ -385,8 +412,9 @@ def embedding_near_dup_pairs(items: DataFrame, threshold: float = 0.95,
                                dim=dim)
                  .alias("sig"))
         for bnd in range(bands)])
-    banded = (it.select(id_col, "_v", F.explode(band_arr).alias("b"))
-              .select(id_col, "_v", "b.band_id", "b.sig"))
+    banded = (it.select(id_col, "_v", "_n",
+                        F.explode(band_arr).alias("b"))
+              .select(id_col, "_v", "_n", "b.band_id", "b.sig"))
     dropped = None
     if max_bucket is not None:
         # window count on the join key (single shuffle, reusable by
@@ -410,7 +438,8 @@ def embedding_near_dup_pairs(items: DataFrame, threshold: float = 0.95,
             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"),
-                    cosine(F.col("a._v"), F.col("b._v"))
+                    cosine_prenorm(F.col("a._v"), F.col("b._v"),
+                                   F.col("a._n"), F.col("b._n"))
                     .alias("score"))
             .filter(F.col("score") >= threshold))
     out = cand.dropDuplicates(["id_a", "id_b"])

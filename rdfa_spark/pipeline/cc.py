@@ -123,7 +123,15 @@ def _local_finish(e: DataFrame) -> DataFrame:
         if m is None or node < m:
             comp_min[root] = node
     out = [(node, comp_min[find(node)]) for node in parent]
-    return spark.createDataFrame(out, "node string, component string")
+    # the labeling is bounded (<= 2 nodes per collected edge, i.e.
+    # <= 2 x local_finish_edges short strings) but parallelize-backed
+    # frames carry no size statistics, so without the hint a caller
+    # joining mentions/nodes against it gets a sort-merge join with a
+    # full shuffle of the big side (observed: 0.8 s vs 0.2 s for the
+    # canonicalize label join at sf0.1).  Broadcast is safe by the
+    # same bound that made the collect safe.
+    return F.broadcast(
+        spark.createDataFrame(out, "node string, component string"))
 
 
 def connected_components(edges: DataFrame, src: str = "src",
@@ -202,7 +210,21 @@ def salt_hot_nodes(edges: DataFrame, max_degree: int = 100_000,
     replica can never become a component representative; drop them
     from the final labeling with ``strip_salt``.
     """
-    e = _canon_edges(edges, src, dst)
+    return _salt_canonical(_canon_edges(edges, src, dst),
+                           max_degree, n_salts)
+
+
+def _salt_canonical(e: DataFrame, max_degree: int,
+                    n_salts: int) -> DataFrame:
+    """``salt_hot_nodes`` body over an already-canonicalized edge set
+    (``_canon_edges`` output).  Split out so callers can checkpoint
+    the canonical edges ONCE and have the degree aggregation, the two
+    hot-node broadcast builds and the rewire pass all read the
+    materialized set — un-checkpointed, each of those independent
+    jobs re-executes the full upstream DAG (for
+    ``connected_components_salted`` that meant ~3 extra passes over
+    the raw-edge lineage: one per broadcast build plus the main
+    pass)."""
     degrees = (e.select(F.col("a").alias("node"))
                .union(e.select(F.col("b").alias("node")))
                .groupBy("node").agg(F.count("*").alias("deg")))
@@ -248,8 +270,16 @@ def connected_components_salted(edges: DataFrame, src: str = "src",
                                 n_salts: int = 16,
                                 max_iter: int = 30,
                                 reliable: bool = False) -> DataFrame:
-    """CC with explicit hot-key salting applied up front."""
-    salted = salt_hot_nodes(edges, max_degree, n_salts, src, dst)
+    """CC with explicit hot-key salting applied up front.
+
+    The canonical edge set is checkpointed before salting: the
+    salting stage launches several independent jobs over it (degree
+    aggregation feeding two broadcast builds, then the rewire pass),
+    and without the checkpoint every one of those re-executes the
+    caller's full edge lineage (guide §2.4/§5 — cut the lineage once,
+    then fan out)."""
+    e = _checkpoint(_canon_edges(edges, src, dst), reliable)
+    salted = _salt_canonical(e, max_degree, n_salts)
     return strip_salt(
         connected_components(salted, "a", "b", max_iter, reliable))
 

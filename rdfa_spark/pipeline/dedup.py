@@ -42,6 +42,12 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     input is small)."""
     sh = with_shingles(df, text_col, n).select(
         F.col(id_col), F.col("shingles"))
+    if candidates is not None:
+        # the shingle table feeds BOTH sides of the verification
+        # join; materialize it once instead of re-tokenizing the
+        # corpus per side (at cluster scale this is the persisted
+        # shingle/signature table the LSH stage already built)
+        sh = sh.localCheckpoint(eager=False)
     if candidates is None:
         a = sh.alias("a")
         b = sh.alias("b")

@@ -280,9 +280,19 @@ def canonicalize(mentions: DataFrame,
                  pairs: DataFrame | None = None) -> DataFrame:
     """Canonical entity ids: connected components over the
     candidate-pair graph on labels; mentions inherit their label's
-    component.  Returns (mention, label, canonical_id)."""
+    component.  Returns (mention, label, canonical_id).
+
+    The mentions table is materialized (localCheckpoint) up front:
+    it is consumed twice — once to build the candidate-pair graph,
+    once for the final component join — and its upstream is typically
+    the full extraction parse, which would otherwise run end-to-end
+    twice.  The checkpoint holds only the narrow (mention, label,
+    entity_key) projection, a tiny fraction of the corpus bytes
+    (guide §8: make every pass but the first operate on the
+    lightweight proxy, not the opaque payload)."""
     from .cc import connected_components
 
+    mentions = mentions.localCheckpoint(eager=False)
     if pairs is None:
         pairs = exact_candidate_pairs(mentions)
     comp = connected_components(pairs, "label_a", "label_b")

@@ -55,9 +55,15 @@ def write_triples(triples: DataFrame, path: str,
     reads inside a bucket.  Size ``n_buckets`` to the corpus:
     buckets ~ total_triple_bytes / target_file_size (64 fits the
     test SFs; a 100 TB corpus wants tens of thousands)."""
+    # sort by (partition column, subj): the dynamic-partition writer
+    # requires its input ordered by the partition column and inserts
+    # its own sort otherwise — which both pays a SECOND sort and
+    # discards the subj clustering the min/max pruning claim rests
+    # on.  Leading with subj_bucket satisfies the writer's required
+    # ordering, so this one sort survives into the files.
     (with_subject_bucket(triples, n_buckets)
      .repartition(n_buckets, F.col("subj_bucket"))
-     .sortWithinPartitions("subj")
+     .sortWithinPartitions("subj_bucket", "subj")
      .write.mode(mode)
      .partitionBy("subj_bucket")
      .parquet(path))
@@ -123,10 +129,13 @@ class ResumableExtraction:
             triples, errors, _ = split_extracts(extracted)
             # same one-writer-task-per-bucket discipline as
             # write_triples (small-file hygiene at scale)
+            # same (partition cols, subj) sort rule as write_triples:
+            # the writer's required ordering is satisfied, no second
+            # sort, subj clustering survives into the files
             (with_subject_bucket(triples, self.n_buckets)
              .withColumn("batch", F.lit(b))
              .repartition(self.n_buckets, F.col("subj_bucket"))
-             .sortWithinPartitions("subj")
+             .sortWithinPartitions("batch", "subj_bucket", "subj")
              .write.mode("overwrite")
              .partitionBy("batch", "subj_bucket")
              .option("partitionOverwriteMode", "dynamic")
