@@ -112,10 +112,14 @@ def q_rdfa_triples_stream(spark: SparkSession,
 
     pages = load_pages(spark, sf_dir).select("url", "html")
     src = tempfile.mkdtemp(prefix="extract_stream_")
-    # ~three micro-batches of `width` files each; files-per-trigger
-    # = tasks-per-batch, so width is sized to the session's cores
+    # files-per-trigger = tasks-per-batch, so width is sized to the
+    # session's cores; the pages table is already spread across
+    # 2x-parallelism partitions by load_pages, so writing it as-is
+    # yields full-width micro-batches with NO extra repartition
+    # shuffle (r7: the old repartition(3*width) paid a second
+    # exchange of every html blob just to force a third trigger)
     width = max(1, min(spark.sparkContext.defaultParallelism, 32))
-    pages.repartition(3 * width).write.mode("overwrite").parquet(src)
+    pages.write.mode("overwrite").parquet(src)
     name = (f"extract_stream_{os.getpid()}_"
             f"{int(_time.time() * 1000) % 10**9}")
     stream = (spark.readStream.schema("url string, html binary")

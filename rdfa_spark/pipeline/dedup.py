@@ -35,19 +35,31 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.5,
-                        candidates: DataFrame | None = None
+                        candidates: DataFrame | None = None,
+                        shingles: DataFrame | None = None
                         ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs (verification step
     after LSH blocking; all-pairs only if candidates is None and the
-    input is small)."""
-    sh = with_shingles(df, text_col, n).select(
-        F.col(id_col), F.col("shingles"))
-    if candidates is not None:
-        # the shingle table feeds BOTH sides of the verification
-        # join; materialize it once instead of re-tokenizing the
-        # corpus per side (at cluster scale this is the persisted
-        # shingle/signature table the LSH stage already built)
-        sh = sh.localCheckpoint(eager=False)
+    input is small).
+
+    ``shingles`` optionally supplies a precomputed (id, shingles)
+    table — e.g. the shared kernel output of ``minhash_dedup_pairs``
+    — skipping the interpreted higher-order-function re-tokenization
+    here entirely.  Jaccard is a pure SET computation
+    (array_intersect / array_union sizes), so any table with the same
+    distinct-shingle sets yields identical scores regardless of
+    element order."""
+    if shingles is not None:
+        sh = shingles.select(F.col(id_col), F.col("shingles"))
+    else:
+        sh = with_shingles(df, text_col, n).select(
+            F.col(id_col), F.col("shingles"))
+        if candidates is not None:
+            # the shingle table feeds BOTH sides of the verification
+            # join; materialize it once instead of re-tokenizing the
+            # corpus per side (at cluster scale this is the persisted
+            # shingle/signature table the LSH stage already built)
+            sh = sh.localCheckpoint(eager=False)
     if candidates is None:
         a = sh.alias("a")
         b = sh.alias("b")
@@ -80,11 +92,27 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                         bands: int = 8,
                         jaccard_threshold: float = 0.5) -> DataFrame:
     """Scale path: LSH blocking then exact-Jaccard verification on the
-    candidates only (never all-pairs)."""
+    candidates only (never all-pairs).
+
+    One Arrow kernel pass produces BOTH the minhash signatures (for
+    the banded LSH join) and the distinct shingle sets (for the
+    Jaccard verification); the combined table is materialized once
+    (localCheckpoint — at cluster scale, the persisted signature
+    table).  Previously the corpus was tokenized twice more through
+    interpreted Catalyst higher-order functions for the verify join.
+    """
+    from .linking import minhash_signatures
+
+    sig_sh = minhash_signatures(df, id_col, text_col, n, num_hashes,
+                                with_shingle_col=True) \
+        .localCheckpoint(eager=False)
     cands = lsh_candidate_pairs(df, id_col, text_col, n,
-                                num_hashes, bands)
+                                num_hashes, bands,
+                                sig=sig_sh.select(id_col, "minhash"))
     return ngram_jaccard_pairs(df, id_col, text_col, n,
-                               jaccard_threshold, candidates=cands)
+                               jaccard_threshold, candidates=cands,
+                               shingles=sig_sh.select(id_col,
+                                                      "shingles"))
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str,

@@ -143,7 +143,8 @@ def with_minhash(df: DataFrame, shingle_col: str = "shingles",
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        n: int = 3, num_hashes: int = 32,
-                       impl: str = "arrow") -> DataFrame:
+                       impl: str = "arrow",
+                       with_shingle_col: bool = False) -> DataFrame:
     """(id, minhash array<long>) signatures.
 
     Two implementations with bit-identical output:
@@ -153,10 +154,20 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     * ``arrow`` — Arrow-batched numpy kernel (default): one md5 per
       shingle, the 32-function universal-hash minima as one
       (num_hashes × n_shingles) int64 matrix op per doc.
+
+    ``with_shingle_col=True`` additionally emits the distinct shingle
+    SET as a ``shingles`` array column — the kernel builds it anyway,
+    so a downstream Jaccard verification gets its shingle table from
+    THIS one pass instead of re-tokenizing the corpus through
+    interpreted Catalyst higher-order functions (set semantics equal
+    ``with_shingles``+``array_distinct``; element order differs, which
+    no set operation downstream observes).
     """
     if impl == "expr":
         sig = with_minhash(with_shingles(df, text_col, n),
                            "shingles", num_hashes)
+        if with_shingle_col:
+            return sig.select(id_col, "minhash", "shingles")
         return sig.select(id_col, "minhash")
 
     import hashlib
@@ -164,8 +175,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
     import numpy as np
     import pandas as pd
-    from pyspark.sql.types import (ArrayType, LongType, StructField,
-                                   StructType)
+    from pyspark.sql.types import (ArrayType, LongType, StringType,
+                                   StructField, StructType)
 
     ws = re.compile(r"\s+")
 
@@ -174,14 +185,18 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     b_vec = np.array([b for _, b in params], dtype=np.int64)
     p = MINHASH_PRIME
     id_field = df.schema[id_col]
-    out_schema = StructType([
+    fields = [
         StructField(id_col, id_field.dataType, True),
         StructField("minhash", ArrayType(LongType()), True),
-    ])
+    ]
+    if with_shingle_col:
+        fields.append(StructField("shingles",
+                                  ArrayType(StringType()), True))
+    out_schema = StructType(fields)
 
     def batches(it):
         for pdf in it:
-            ids, sigs = [], []
+            ids, sigs, shs = [], [], []
             for rid, text in zip(pdf[id_col].values,
                                  pdf[text_col].values):
                 # regex split with kept empty edge tokens — exact
@@ -190,8 +205,14 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                 hi = max(len(toks) - n, 0)
                 shingles = {" ".join(toks[j:j + n])
                             for j in range(hi + 1)}
+                # int.from_bytes(digest[:8]) >> 4 == the first 15 hex
+                # digits of the md5 — same value as the SQL mirror's
+                # substring(md5, 1, 15) without formatting the hex
+                # string per shingle
+                md5 = hashlib.md5
                 vals = np.fromiter(
-                    (int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                    ((int.from_bytes(md5(s.encode()).digest()[:8],
+                                     "big") >> 4)
                      % p for s in shingles),
                     dtype=np.int64, count=len(shingles))
                 if len(vals) == 0:
@@ -201,7 +222,12 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                            + b_vec[:, None]) % p).min(axis=1)
                     sigs.append(mh.tolist())
                 ids.append(rid)
-            yield pd.DataFrame({id_col: ids, "minhash": sigs})
+                if with_shingle_col:
+                    shs.append(list(shingles))
+            out = {id_col: ids, "minhash": sigs}
+            if with_shingle_col:
+                out["shingles"] = shs
+            yield pd.DataFrame(out)
 
     return df.select(id_col, text_col).mapInPandas(batches, out_schema)
 
@@ -210,7 +236,8 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str,
                         text_col: str, n: int = 3,
                         num_hashes: int = 32,
                         bands: int = 8,
-                        max_bucket: int | None = 10_000) -> DataFrame:
+                        max_bucket: int | None = 10_000,
+                        sig: DataFrame | None = None) -> DataFrame:
     """MinHash-LSH near-duplicate candidates: shingle -> minhash ->
     band -> bucket equi-join.  rows/bands = num_hashes // bands
     signatures per band; a pair collides if any band matches.
@@ -235,9 +262,14 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str,
     a new DataFrame without it.  Default changed None -> 10_000 in
     round 3 — callers wanting the old emit-everything behavior must
     pass ``max_bucket=None`` explicitly.
+
+    ``sig`` optionally supplies a precomputed (id, minhash) signature
+    frame (e.g. the shared signature+shingle table of
+    ``minhash_dedup_pairs``) so the kernel pass isn't recomputed.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    if sig is None:
+        sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(

@@ -13,12 +13,14 @@ from pyspark.sql import functions as F
 
 
 def _escape_literal(col: Column) -> Column:
-    """N-Triples string escaping (Parser.pm:2259-2263)."""
-    c = F.regexp_replace(col, r"\\", r"\\\\")
-    c = F.regexp_replace(c, "\n", r"\\n")
-    c = F.regexp_replace(c, "\r", r"\\r")
-    c = F.regexp_replace(c, "\t", r"\\t")
-    return F.regexp_replace(c, '"', r'\\"')
+    """N-Triples string escaping (Parser.pm:2259-2263).  Literal
+    ``replace`` (the five patterns are single characters — no regex
+    semantics needed; verified identical incl. backslash rows)."""
+    c = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit("\n"), F.lit("\\n"))
+    c = F.replace(c, F.lit("\r"), F.lit("\\r"))
+    c = F.replace(c, F.lit("\t"), F.lit("\\t"))
+    return F.replace(c, F.lit('"'), F.lit('\\"'))
 
 
 def _term(col: Column) -> Column:
