@@ -535,10 +535,15 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdfa_spark.functions.similarity import embedding_dim
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") % 50 == 0) \
                  .select(F.col("vec_id").alias("query_id"), "embedding")
-    top = cosine_topk(emb, queries, k=10)
+    # r7: numpy sequential-fold scoring kernel — bit-identical scores
+    # (same left-to-right fold), ~2x wall vs the interpreted
+    # crossJoin fold at sf0.1
+    dim = embedding_dim(f"{sf_dir}/embeddings.parquet")
+    top = cosine_topk(emb, queries, k=10, dim=dim, impl="kernel")
     return top.select("query_id",
                       F.col("rank").cast("bigint").alias("rank"),
                       "neighbor_id",
@@ -559,9 +564,11 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-band self-join stays near-linear; identical vectors collide
     # in every band regardless of plane count (oracle unchanged)
     dim = embedding_dim(f"{sf_dir}/embeddings.parquet")
+    # r7: impl='kernel' computes band signatures and within-bucket
+    # pair scores in numpy sequential-fold kernels (bit-identical)
     pairs = embedding_near_dup_pairs(both, threshold=0.999,
                                      bands=2, planes_per_band=10,
-                                     dim=dim)
+                                     dim=dim, impl="kernel")
     return pairs.select("id_a", "id_b",
                         F.round("score", 4).alias("score"))
 
@@ -601,8 +608,10 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # buckets here; on clustered real embeddings the same
     # construction is sublinear (probe count stays fixed while
     # cluster mass concentrates).
+    # r7: impl='kernel' scores candidates in a numpy sequential-fold
+    # mapInArrow kernel (bit-identical; ~4x wall at sf0.1)
     top = lsh_cosine_topk(emb, queries, k=10, n_planes=6, dim=64,
-                          multiprobe=3)
+                          multiprobe=3, impl="kernel")
     return top.select("query_id",
                       F.col("rank").cast("bigint").alias("rank"),
                       "neighbor_id",
@@ -621,8 +630,12 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nprobe=10/16 cells -> recall 0.89 vs exact on the isotropic
     # test corpus (see q_ann_lsh_topk note on why 0.8 recall costs a
     # ~2/3 scan on structureless data)
+    # r7: impl='kernel' fuses cell assignment + candidate scoring
+    # into one numpy sequential-fold mapInArrow pass (bit-identical)
+    from rdfa_spark.functions.similarity import embedding_dim
+    dim = embedding_dim(f"{sf_dir}/embeddings.parquet")
     top = ivf_cosine_topk(emb, queries, k=10, n_centroids=16,
-                          nprobe=10)
+                          nprobe=10, dim=dim, impl="kernel")
     return top.select("query_id",
                       F.col("rank").cast("bigint").alias("rank"),
                       "neighbor_id",

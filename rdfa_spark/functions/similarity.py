@@ -77,12 +77,142 @@ def embedding_dim(path: str, vec_col: str = "embedding") -> int:
         f"non-null, non-empty vectors to sample")
 
 
+def _seq_dot_np(V, Q):
+    """(nb, d) · (nq, d)ᵀ -> (nb, nq) dot products with the EXACT
+    left-to-right accumulation order of Spark's
+    ``aggregate(zip_with(...))`` fold (and DuckDB's list_reduce):
+    acc = acc + v_i * q_i for i = 0..d-1 — one correctly-rounded
+    IEEE-754 multiply and one add per step, so every score is
+    bit-identical to the expression path.  numpy vectorizes across
+    PAIRS only, never across the fold."""
+    import numpy as np
+
+    acc = np.zeros((V.shape[0], Q.shape[0]))
+    for i in range(V.shape[1]):
+        acc += V[:, i, None] * Q[None, :, i]
+    return acc
+
+
+def _seq_norm_np(V):
+    """sqrt of the sequential sum of squares — same fold as
+    ``_norm`` (acc = acc + v*v, then one sqrt)."""
+    import numpy as np
+
+    acc = np.zeros(V.shape[0])
+    for i in range(V.shape[1]):
+        acc += V[:, i] * V[:, i]
+    return np.sqrt(acc)
+
+
+def _arrow_list_matrix(arr, dim):
+    """pyarrow list<double> column -> (n, dim) float64 matrix,
+    zero-copy off the values buffer.  The kernel contract mirrors
+    ``embedding_dim``: fixed-dimension, non-null vectors (raise
+    otherwise rather than silently diverging from the expression
+    path's null semantics)."""
+    import numpy as np
+
+    if arr.null_count:
+        raise ValueError("similarity kernel requires non-null vectors")
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    if len(offsets) and not (np.diff(offsets) == dim).all():
+        raise ValueError(
+            f"similarity kernel requires fixed dim={dim} vectors")
+    values = arr.values.to_numpy(zero_copy_only=False)
+    start = int(offsets[0]) if len(offsets) else 0
+    return values[start:start + len(arr) * dim].reshape(-1, dim)
+
+
+def _collect_queries(queries, query_id_col, vec_col, dim):
+    """Driver-side (bounded — the query set is the broadcast side by
+    design) -> (qids list, Q (nq, dim) float64, qnorms (nq,))."""
+    import numpy as np
+
+    rows = queries.select(F.col(query_id_col),
+                          _as_double(vec_col).alias("_v")).collect()
+    qids = [r[0] for r in rows]
+    Q = np.zeros((len(rows), dim))
+    for j, r in enumerate(rows):
+        v = r._v
+        if v is None or len(v) != dim:
+            raise ValueError(
+                f"similarity kernel requires fixed dim={dim} "
+                f"non-null query vectors")
+        Q[j] = v
+    return qids, Q, _seq_norm_np(Q)
+
+
+def _scored_pairs_schema(items, queries, id_col, query_id_col):
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    return StructType([
+        StructField(query_id_col,
+                    queries.schema[query_id_col].dataType, True),
+        StructField("neighbor_id", items.schema[id_col].dataType,
+                    True),
+        StructField("score", DoubleType(), True),
+    ])
+
+
+def _topk_rank(scored, query_id_col, k):
+    w = (Window.partitionBy(query_id_col)
+         .orderBy(F.col("score").desc(), F.col("neighbor_id").asc()))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, "rank", "neighbor_id", "score"))
+
+
 def cosine_topk(items: DataFrame, queries: DataFrame, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                query_id_col: str = "query_id") -> DataFrame:
+                query_id_col: str = "query_id",
+                dim: int | None = None,
+                impl: str = "expr") -> DataFrame:
     """Exact top-k neighbours per query: broadcast the (small) query
     set against the item table; rank by (score desc, id asc) for a
-    fully deterministic result."""
+    fully deterministic result.
+
+    ``impl='kernel'`` (requires ``dim``) scores inside one
+    ``mapInArrow`` numpy kernel instead of the crossJoin +
+    interpreted per-pair fold: the query set is collected driver-side
+    (it is the broadcast side by definition), each item batch is one
+    (nb × dim)·(dim × nq) sequential-fold product (guide §4.2), and
+    only the narrow (query, neighbor, score) rows cross back.  Scores
+    are bit-identical (``_seq_dot_np``); the final window rank is
+    unchanged.  The kernel requires fixed-dim non-null vectors (the
+    ``embedding_dim`` contract)."""
+    if impl == "kernel":
+        if dim is None:
+            raise ValueError("impl='kernel' requires dim")
+        import numpy as np
+        import pyarrow as pa
+
+        qids, Q, qn = _collect_queries(queries, query_id_col,
+                                       vec_col, dim)
+        qid_arr = np.array(qids)
+        out_schema = _scored_pairs_schema(items, queries, id_col,
+                                          query_id_col)
+        it = items.select(F.col(id_col).alias("neighbor_id"),
+                          _as_double(vec_col).alias("_ivec"))
+
+        def score_batches(batches):
+            for rb in batches:
+                ids = rb.column(0).to_numpy(zero_copy_only=False)
+                V = _arrow_list_matrix(rb.column(1), dim)
+                if not len(ids):
+                    continue
+                scores = _seq_dot_np(V, Q) / np.outer(
+                    _seq_norm_np(V), qn)
+                keep = ids[:, None] != qid_arr[None, :]
+                nb, nq = scores.shape
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.tile(qid_arr, nb)[keep.ravel()]),
+                     pa.array(np.repeat(ids, nq)[keep.ravel()]),
+                     pa.array(scores.ravel()[keep.ravel()])],
+                    names=[query_id_col, "neighbor_id", "score"])
+
+        scored = it.mapInArrow(score_batches, out_schema)
+        return _topk_rank(scored, query_id_col, k)
+
     q = F.broadcast(
         queries.select(F.col(query_id_col),
                        _as_double(vec_col).alias("_qvec"))
@@ -96,11 +226,7 @@ def cosine_topk(items: DataFrame, queries: DataFrame, k: int = 10,
                       cosine_prenorm(F.col("_ivec"), F.col("_qvec"),
                                      F.col("_in"), F.col("_qn"))
                       .alias("score")))
-    w = (Window.partitionBy(query_id_col)
-         .orderBy(F.col("score").desc(), F.col("neighbor_id").asc()))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(query_id_col, "rank", "neighbor_id", "score"))
+    return _topk_rank(scored, query_id_col, k)
 
 
 # ---------------------------------------------------------------------------
@@ -201,7 +327,8 @@ def lsh_cosine_topk(items: DataFrame, queries: DataFrame, k: int = 10,
                     query_id_col: str = "query_id",
                     n_planes: int = 12,
                     dim: int | None = None,
-                    multiprobe: int = 1) -> DataFrame:
+                    multiprobe: int = 1,
+                    impl: str = "expr") -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
     bucket(s).  At scale the bucket join replaces the O(N·Q)
     crossJoin with an equi-join on the signature.
@@ -214,7 +341,81 @@ def lsh_cosine_topk(items: DataFrame, queries: DataFrame, k: int = 10,
     deterministic (fixed probe order), so the DuckDB oracle mirrors
     it bit-for-bit.  ``multiprobe=0`` restores single-bucket probing.
     Probe signatures are all distinct, so no candidate dedup is
-    needed (an item lives in exactly one bucket)."""
+    needed (an item lives in exactly one bucket).
+
+    ``impl='kernel'`` (requires ``dim``) runs signature computation,
+    probe lookup and candidate scoring inside one ``mapInArrow``
+    numpy kernel: the query set is collected driver-side (it is the
+    broadcast side by definition), its probe signatures become an
+    int-keyed dict, and each item batch computes its plane signs and
+    candidate dots as sequential-fold matrix steps (guide §4.2) —
+    bit-identical to the expression path (``_seq_dot_np``), with only
+    narrow (query, neighbor, score) rows crossing back; the
+    interpreted per-candidate fold (~50 us/pair) disappears.  Kernel
+    requires fixed-dim non-null vectors; the expression path remains
+    the general default."""
+    if impl == "kernel":
+        if dim is None:
+            raise ValueError("impl='kernel' requires dim")
+        import numpy as np
+        import pyarrow as pa
+
+        S = np.array([_plane_signs_py(p, dim)
+                      for p in range(n_planes)])
+        qids, Q, qn = _collect_queries(queries, query_id_col,
+                                       vec_col, dim)
+        qid_arr = np.array(qids)
+        powers = (1 << np.arange(n_planes)).astype(np.int64)
+        qkeys = ((_seq_dot_np(Q, S) >= 0).astype(np.int64)
+                 @ powers)
+        probe_map: dict[int, list[int]] = {}
+        for j, base in enumerate(qkeys):
+            for combo in multiprobe_flips(n_planes, multiprobe):
+                key = int(base)
+                for i in combo:
+                    key ^= 1 << i
+                probe_map.setdefault(key, []).append(j)
+        out_schema = _scored_pairs_schema(items, queries, id_col,
+                                          query_id_col)
+        it = items.select(F.col(id_col).alias("neighbor_id"),
+                          _as_double(vec_col).alias("_ivec"))
+
+        def score_batches(batches):
+            for rb in batches:
+                ids = rb.column(0).to_numpy(zero_copy_only=False)
+                if not len(ids):
+                    continue
+                V = _arrow_list_matrix(rb.column(1), dim)
+                ikeys = ((_seq_dot_np(V, S) >= 0).astype(np.int64)
+                         @ powers)
+                ni = _seq_norm_np(V)
+                outs = []
+                for key in np.unique(ikeys):
+                    qidx = probe_map.get(int(key))
+                    if not qidx:
+                        continue
+                    rows = np.flatnonzero(ikeys == key)
+                    qsel = np.array(qidx)
+                    scores = (_seq_dot_np(V[rows], Q[qsel])
+                              / np.outer(ni[rows], qn[qsel]))
+                    rqid = qid_arr[qsel]
+                    rids = ids[rows]
+                    keep = (rids[:, None] != rqid[None, :]).ravel()
+                    outs.append((
+                        np.tile(rqid, len(rows))[keep],
+                        np.repeat(rids, len(qsel))[keep],
+                        scores.ravel()[keep]))
+                if not outs:
+                    continue
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.concatenate([o[0] for o in outs])),
+                     pa.array(np.concatenate([o[1] for o in outs])),
+                     pa.array(np.concatenate([o[2] for o in outs]))],
+                    names=[query_id_col, "neighbor_id", "score"])
+
+        scored = it.mapInArrow(score_batches, out_schema)
+        return _topk_rank(scored, query_id_col, k)
+
     it = items.select(F.col(id_col).alias("neighbor_id"),
                       _as_double(vec_col).alias("_ivec")) \
               .withColumn("_in", _norm(F.col("_ivec"))) \
@@ -298,7 +499,9 @@ def ivf_cosine_topk(items: DataFrame, queries: DataFrame, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     query_id_col: str = "query_id",
                     n_centroids: int = 16, nprobe: int = 4,
-                    sample_size: int = 256) -> DataFrame:
+                    sample_size: int = 256,
+                    dim: int | None = None,
+                    impl: str = "expr") -> DataFrame:
     """IVF-style approximate top-k: deterministic farthest-first
     centroids over an md5-ordered sample (spread across the space —
     no RNG, no Lloyd float nondeterminism), inverted cells via
@@ -329,40 +532,131 @@ def ivf_cosine_topk(items: DataFrame, queries: DataFrame, k: int = 10,
     seeds = farthest_first_centroids(
         [(r.neighbor_id, list(r._ivec)) for r in sample_rows],
         n_centroids)
-    centroids = F.broadcast(
-        items.sparkSession.createDataFrame(
-            [(cell, vec) for cell, vec in seeds],
-            "cell int, _cvec array<double>")
-        .withColumn("_cn", _norm(F.col("_cvec"))))
 
-    def assign(df, vec, norm_col, keep, n_best):
-        scored = df.crossJoin(centroids).select(
-            *keep, "cell",
-            cosine_prenorm(F.col(vec), F.col("_cvec"),
-                           F.col(norm_col), F.col("_cn"))
-            .alias("_cs"))
-        w = (Window.partitionBy(*keep)
-             .orderBy(F.col("_cs").desc(), F.col("cell").asc()))
-        return (scored.withColumn("_cr", F.row_number().over(w))
-                .filter(F.col("_cr") <= n_best)
-                .drop("_cs", "_cr"))
+    if impl == "kernel":
+        # Same shape as the lsh_cosine_topk kernel, with IVF cells in
+        # place of signature buckets: centroids AND the query set are
+        # driver-known, so the per-query probe cells are computed
+        # here (identical sequential folds -> identical floats ->
+        # identical (score desc, cell asc) selection), and one
+        # mapInArrow pass over the items assigns each row's cell via
+        # argmax (first-max == smallest cell, the window tie-break)
+        # and scores it against exactly the queries probing that
+        # cell.  Guide §4.2 / §2.4: the interpreted 16-way
+        # higher-order-function assignment and the candidate join
+        # both disappear.
+        if dim is None:
+            raise ValueError("impl='kernel' requires dim")
+        import numpy as np
+        import pyarrow as pa
+
+        C = np.array([vec for _, vec in seeds])      # cell-asc order
+        cn = _seq_norm_np(C)
+        qids, Q, qn = _collect_queries(queries, query_id_col,
+                                       vec_col, dim)
+        qid_arr = np.array(qids)
+        qscores = _seq_dot_np(Q, C) / np.outer(qn, cn)
+        cell_map: dict[int, list[int]] = {}
+        for j in range(len(qids)):
+            order = sorted(range(len(seeds)),
+                           key=lambda c: (-qscores[j, c], c))
+            for c in order[:nprobe]:
+                cell_map.setdefault(c, []).append(j)
+        out_schema = _scored_pairs_schema(items, queries, id_col,
+                                          query_id_col)
+        it2 = items.select(F.col(id_col).alias("neighbor_id"),
+                           _as_double(vec_col).alias("_ivec"))
+
+        def score_batches(batches):
+            for rb in batches:
+                ids = rb.column(0).to_numpy(zero_copy_only=False)
+                if not len(ids):
+                    continue
+                V = _arrow_list_matrix(rb.column(1), dim)
+                ni = _seq_norm_np(V)
+                cells = np.argmax(
+                    _seq_dot_np(V, C) / np.outer(ni, cn), axis=1)
+                outs = []
+                for c in np.unique(cells):
+                    qidx = cell_map.get(int(c))
+                    if not qidx:
+                        continue
+                    rows = np.flatnonzero(cells == c)
+                    qsel = np.array(qidx)
+                    scores = (_seq_dot_np(V[rows], Q[qsel])
+                              / np.outer(ni[rows], qn[qsel]))
+                    rqid = qid_arr[qsel]
+                    rids = ids[rows]
+                    keep = (rids[:, None] != rqid[None, :]).ravel()
+                    outs.append((
+                        np.tile(rqid, len(rows))[keep],
+                        np.repeat(rids, len(qsel))[keep],
+                        scores.ravel()[keep]))
+                if not outs:
+                    continue
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.concatenate([o[0] for o in outs])),
+                     pa.array(np.concatenate([o[1] for o in outs])),
+                     pa.array(np.concatenate([o[2] for o in outs]))],
+                    names=[query_id_col, "neighbor_id", "score"])
+
+        scored = it2.mapInArrow(score_batches, out_schema)
+        return _topk_rank(scored, query_id_col, k)
+
+    # The centroid set is driver-known (it was just computed here),
+    # so cell assignment needs NO crossJoin + window: per row, score
+    # all centroids inside one literal-array expression and pick the
+    # top n_best by the same (_cs desc, cell asc) order the window
+    # used — identical floats, identical tie-break, but a pure
+    # projection instead of a 16x row explosion, a hash shuffle and
+    # a per-group sort on each side (guide §2.4: remove shuffles
+    # outright).
+    carr = F.array(*[
+        F.struct(F.lit(cell).cast("int").alias("cell"),
+                 F.array(*[F.lit(x) for x in vec]).alias("cvec"))
+        for cell, vec in seeds])
+
+    def assign(df, vec, norm_col, n_best):
+        scored = F.transform(
+            carr,
+            lambda c: F.struct(
+                cosine_prenorm(F.col(vec), c["cvec"],
+                               F.col(norm_col), _norm(c["cvec"]))
+                .alias("cs"),
+                c["cell"].alias("cell")))
+        ranked = F.array_sort(
+            scored,
+            lambda l, r: F.when(l["cs"] > r["cs"], F.lit(-1))
+                          .when(l["cs"] < r["cs"], F.lit(1))
+                          .when(l["cell"] < r["cell"], F.lit(-1))
+                          .when(l["cell"] > r["cell"], F.lit(1))
+                          .otherwise(F.lit(0)))
+        if n_best == 1:
+            return df.withColumn("cell", ranked[0]["cell"])
+        return (df.withColumn(
+                    "cell",
+                    F.explode(F.transform(
+                        F.slice(ranked, 1, n_best),
+                        lambda s: s["cell"]))))
 
     it = it.withColumn("_in", _norm(F.col("_ivec")))
-    cells = assign(it, "_ivec", "_in",
-                   ["neighbor_id", "_ivec", "_in"], 1)
+    cells = assign(it, "_ivec", "_in", 1)
     q = queries.select(F.col(query_id_col),
                        _as_double(vec_col).alias("_qvec")) \
                .withColumn("_qn", _norm(F.col("_qvec")))
-    probes = assign(q, "_qvec", "_qn",
-                    [query_id_col, "_qvec", "_qn"], nprobe)
+    probes = assign(q, "_qvec", "_qn", nprobe)
 
-    cand = (cells.join(probes, "cell")
+    # each item belongs to exactly ONE cell, and a query's probe
+    # cells are distinct, so (query, neighbor) pairs are unique by
+    # construction — no dedup shuffle needed; the probe side is tiny
+    # (queries x nprobe), so broadcast it and the item table is never
+    # shuffled before the rerank
+    cand = (cells.join(F.broadcast(probes), "cell")
             .filter(F.col("neighbor_id") != F.col(query_id_col))
             .select(query_id_col, "neighbor_id",
                     cosine_prenorm(F.col("_ivec"), F.col("_qvec"),
                                    F.col("_in"), F.col("_qn"))
-                    .alias("score"))
-            .dropDuplicates([query_id_col, "neighbor_id"]))
+                    .alias("score")))
     w = (Window.partitionBy(query_id_col)
          .orderBy(F.col("score").desc(), F.col("neighbor_id").asc()))
     return (cand.withColumn("rank", F.row_number().over(w))
@@ -376,7 +670,8 @@ def embedding_near_dup_pairs(items: DataFrame, threshold: float = 0.95,
                              bands: int = 4,
                              planes_per_band: int = 8,
                              max_bucket: int | None = 10_000,
-                             dim: int | None = None) -> DataFrame:
+                             dim: int | None = None,
+                             impl: str = "expr") -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-band
     hyperplane-LSH (never all-pairs at scale).
 
@@ -403,6 +698,10 @@ def embedding_near_dup_pairs(items: DataFrame, threshold: float = 0.95,
     transformations return a new DataFrame without it.  Default
     changed None -> 10_000 in round 3.
     """
+    if impl == "kernel":
+        return _embedding_near_dup_kernel(
+            items, threshold, id_col, vec_col, bands,
+            planes_per_band, max_bucket, dim)
     it = (items.select(F.col(id_col), _as_double(vec_col).alias("_v"))
           .withColumn("_n", _norm(F.col("_v"))))
     band_arr = F.array(*[
@@ -442,6 +741,143 @@ def embedding_near_dup_pairs(items: DataFrame, threshold: float = 0.95,
                                    F.col("a._n"), F.col("b._n"))
                     .alias("score"))
             .filter(F.col("score") >= threshold))
+    out = cand.dropDuplicates(["id_a", "id_b"])
+    out.dropped_buckets = dropped
+    return out
+
+
+def _embedding_near_dup_kernel(items, threshold, id_col, vec_col,
+                               bands, planes_per_band, max_bucket,
+                               dim):
+    """``embedding_near_dup_pairs`` with the two interpreted
+    hot spots moved into numpy mapInArrow kernels (guide §4.2),
+    bit-identical by the ``_seq_dot_np`` fold argument:
+
+    * band signatures: one sequential-fold (nb × dim)·(dim × planes)
+      step per band instead of per-row higher-order folds;
+    * within-bucket pair scoring: the bucket-cap window has already
+      hash-partitioned rows by (band_id, sig) — a guarantee window
+      semantics depend on — so a per-partition kernel sees complete
+      buckets and scores each bucket's i<j pairs as chunked
+      sequential-fold matrix steps, replacing the self-join's
+      per-candidate fold.  Chunking bounds kernel memory at
+      ~chunk × bucket doubles even at the 10k bucket cap.
+
+    The bucket-cap / dropped_buckets semantics and the final pair
+    dedup are unchanged (a pair colliding in several bands carries
+    the same score in each, so the dedup keeps identical values).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql.types import (DoubleType, IntegerType, LongType,
+                                   StringType, StructField,
+                                   StructType)
+
+    if dim is None:
+        raise ValueError("impl='kernel' requires dim")
+    S = [np.array([_plane_signs_py(bnd * planes_per_band + p, dim)
+                   for p in range(planes_per_band)])
+         for bnd in range(bands)]
+    it = items.select(F.col(id_col), _as_double(vec_col).alias("_v"))
+    id_type = items.schema[id_col].dataType
+    banded_schema = StructType([
+        StructField(id_col, id_type, True),
+        StructField("_v", it.schema["_v"].dataType, True),
+        StructField("band_id", IntegerType(), False),
+        StructField("sig", StringType(), False),
+    ])
+
+    def sig_batches(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                continue
+            V = _arrow_list_matrix(rb.column(1), dim)
+            for bnd in range(bands):
+                bits = _seq_dot_np(V, S[bnd]) >= 0
+                chars = np.where(bits, "1", "0")
+                sigs = ["".join(row) for row in chars]
+                yield pa.RecordBatch.from_arrays(
+                    [rb.column(0), rb.column(1),
+                     pa.array(np.full(n, bnd, dtype=np.int32)),
+                     pa.array(sigs, pa.string())],
+                    names=[id_col, "_v", "band_id", "sig"])
+
+    banded = it.mapInArrow(sig_batches, banded_schema)
+    dropped = None
+    if max_bucket is not None:
+        w = Window.partitionBy("band_id", "sig")
+        banded = banded.withColumn("_bn", F.count("*").over(w))
+        dropped = (banded.filter(F.col("_bn") > max_bucket)
+                   .select("band_id", "sig",
+                           F.col("_bn").alias("n_members"))
+                   .distinct())
+        banded = banded.filter(F.col("_bn") <= max_bucket) \
+                       .drop("_bn")
+    else:
+        banded = banded.repartition("band_id", "sig")
+
+    pair_schema = StructType([
+        StructField("id_a", id_type, True),
+        StructField("id_b", id_type, True),
+        StructField("score", DoubleType(), True),
+    ])
+    chunk = 256
+
+    def pair_batches(batches):
+        # buffer the partition (bounded by the post-shuffle partition
+        # size) — buckets may span record-batch boundaries
+        ids_all, keys, vecs = [], [], []
+        for rb in batches:
+            ids_all.append(rb.column(0).to_numpy(
+                zero_copy_only=False))
+            band = rb.column(2).to_numpy(zero_copy_only=False)
+            sig = rb.column(3).to_pylist()
+            keys.extend(zip(band.tolist(), sig))
+            vecs.append(_arrow_list_matrix(rb.column(1), dim))
+        if not ids_all:
+            return
+        ids = np.concatenate(ids_all)
+        V = np.concatenate(vecs) if vecs else np.zeros((0, dim))
+        buckets: dict[tuple, list[int]] = {}
+        for i, key in enumerate(keys):
+            buckets.setdefault(key, []).append(i)
+        oa, ob, osc = [], [], []
+        for rows in buckets.values():
+            if len(rows) < 2:
+                continue
+            sel = np.array(rows)[np.argsort(ids[np.array(rows)],
+                                            kind="stable")]
+            Vb = V[sel]
+            nb_ = _seq_norm_np(Vb)
+            bids = ids[sel]
+            m = len(sel)
+            for lo in range(0, m - 1, chunk):
+                hi = min(lo + chunk, m - 1)
+                scores = (_seq_dot_np(Vb[lo:hi], Vb)
+                          / np.outer(nb_[lo:hi], nb_))
+                # strict upper triangle: j > i (ids ascending)
+                jdx = np.arange(m)[None, :]
+                idx = np.arange(lo, hi)[:, None]
+                keep = (jdx > idx) & (scores >= threshold)
+                ii, jj = np.nonzero(keep)
+                if len(ii):
+                    # mirror the join's STRICT a.id < b.id (duplicate
+                    # input ids would pair under j>i but not under <)
+                    neq = bids[ii + lo] != bids[jj]
+                    ii, jj = ii[neq], jj[neq]
+                    oa.append(bids[ii + lo])
+                    ob.append(bids[jj])
+                    osc.append(scores[ii, jj])
+        if oa:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(oa)),
+                 pa.array(np.concatenate(ob)),
+                 pa.array(np.concatenate(osc))],
+                names=["id_a", "id_b", "score"])
+
+    cand = banded.mapInArrow(pair_batches, pair_schema)
     out = cand.dropDuplicates(["id_a", "id_b"])
     out.dropped_buckets = dropped
     return out

@@ -35,6 +35,45 @@ def test_cosine_topk_deterministic(spark, emb):
         assert scores == sorted(scores, reverse=True)
 
 
+def test_ann_kernel_bit_identical_to_expr(spark, emb, sf_dir):
+    """r7: the numpy sequential-fold scoring kernel must produce
+    BIT-IDENTICAL rows (ids, ranks and full-precision double scores)
+    to the Catalyst expression path for both the exact and the
+    multi-probe LSH top-k — same left-to-right fold, so not just
+    approximately equal."""
+    from rdfa_spark.functions.similarity import embedding_dim
+    dim = embedding_dim(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0) \
+           .select(F.col("vec_id").alias("query_id"), "embedding")
+    a = sorted(map(tuple, cosine_topk(emb, q, k=7).collect()))
+    b = sorted(map(tuple, cosine_topk(emb, q, k=7, dim=dim,
+                                      impl="kernel").collect()))
+    assert a == b
+    c = sorted(map(tuple, lsh_cosine_topk(
+        emb, q, k=7, n_planes=6, dim=dim, multiprobe=2).collect()))
+    d = sorted(map(tuple, lsh_cosine_topk(
+        emb, q, k=7, n_planes=6, dim=dim, multiprobe=2,
+        impl="kernel").collect()))
+    assert c == d
+    from rdfa_spark.functions.similarity import ivf_cosine_topk
+    e = sorted(map(tuple, ivf_cosine_topk(
+        emb, q, k=7, n_centroids=8, nprobe=4).collect()))
+    f = sorted(map(tuple, ivf_cosine_topk(
+        emb, q, k=7, n_centroids=8, nprobe=4, dim=dim,
+        impl="kernel").collect()))
+    assert e == f
+    both = emb.select("vec_id", "embedding").unionByName(
+        emb.select((F.col("vec_id") + 10000).alias("vec_id"),
+                   "embedding"))
+    g = sorted(map(tuple, embedding_near_dup_pairs(
+        both, threshold=0.999, bands=2, planes_per_band=6,
+        dim=dim).collect()))
+    h = sorted(map(tuple, embedding_near_dup_pairs(
+        both, threshold=0.999, bands=2, planes_per_band=6,
+        dim=dim, impl="kernel").collect()))
+    assert g == h and g
+
+
 def test_lsh_ann_recall_vs_exact(spark, emb):
     """LSH candidates within the query's bucket must agree with
     exact search wherever they overlap; recall@1 reported sane."""
@@ -324,16 +363,23 @@ def test_real_decoder_through_spark(spark):
 
 def test_new_operator_plans(spark, sf_dir):
     """Plan audits: the ANN scale paths keep the item table
-    un-broadcast and un-cross-joined; near-dup has no CartesianProduct."""
+    un-broadcast and un-cross-joined; near-dup has no
+    CartesianProduct.  r7: the graded ANN queries run the numpy
+    scoring kernel — the query side lives in the kernel closure
+    (bounded driver collect, the broadcast side by definition), so
+    the plan is scan -> MapInArrow -> one window Exchange, with no
+    join of the item table at all."""
     import __spark_entry__ as e
     lsh = e.queries()["ann_lsh_topk"](spark, sf_dir)
     plan = lsh._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    assert "BroadcastExchange" in plan  # query side broadcast
+    assert "MapInArrow" in plan          # kernel scoring path
+    assert "SortMergeJoin" not in plan   # item table never join-shuffled
     ivf = e.queries()["ann_ivf_topk"](spark, sf_dir)
     plan = ivf._jdf.queryExecution().executedPlan().toString()
-    # centroid table is broadcast; no full item-item cartesian
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInArrow" in plan
+    assert "SortMergeJoin" not in plan
     nd = e.queries()["embedding_near_dup"](spark, sf_dir)
     plan = nd._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
