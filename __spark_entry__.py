@@ -91,7 +91,7 @@ def q_rdfa_triples_stream(spark: SparkSession,
                           sf_dir: str) -> DataFrame:
     """§2.8 incremental crawl extraction as a GRADED query: the same
     zero-shuffle scan -> mapInArrow chain run as a Structured
-    Streaming job (file source, availableNow, three micro-batches),
+    Streaming job (file source, availableNow, multiple micro-batches),
     checked against the SAME DuckDB oracle as the batch
     ``rdfa_triples`` query — batch/stream parity is the oracle.
     Extraction is stateless per url, so exactly-once comes from the
